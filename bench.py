@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + drain) on a warm session,
+median of 3 runs, matching BASELINE.md's measurement protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from luxor_db_spark.registry import ORACLES, load_all_queries  # noqa: E402
+from luxor_db_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("LUXOR_BENCH_RUNS", "3"))
+
+# Headline set: one representative per SURVEY.md §2 category, weighted toward
+# the expensive shapes (multiway join, windows, knn, dedup).
+HEADLINE = [
+    "flagship_q1",
+    "scan_filtered",
+    "join_multiway",
+    "join_asof",
+    "agg_hash",
+    "agg_grouping_sets",
+    "win_topk_group",
+    "sort_multi",
+    "set_except_all",
+    "fn_string",
+    "udf_pandas",
+    "llm_dedup_exact",
+    "llm_dedup_near",
+    "llm_tfidf_topterms",
+    "llm_cosine_topk",
+    "llm_knn_join",
+    "stream_tumbling",
+]
+
+
+def drain(df) -> int:
+    """Execute fully without driver-side materialization of values."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def main() -> None:
+    queries = load_all_queries()
+    keys = [k for k in HEADLINE if k in queries]
+    spark = get_spark(app_name="luxor-db-spark-bench")
+    # Warm the JVM + parquet footers with the cheapest key.
+    queries[keys[0]](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for key in keys:
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df = queries[key](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[key] = round(statistics.median(samples), 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "n_registered": len(queries),
+                "n_sql_oracles": len(ORACLES),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,304 @@
+"""§2.4 Aggregations (SURVEY.md).
+
+Reference status: absent (reference ``Main.java:1-7`` only).
+
+Scale notes: every grouped aggregate here is a Catalyst HashAggregate, which
+automatically runs partial (map-side) + final (post-shuffle) — the only data
+crossing the shuffle is one row per (partition, group). Float aggregation
+follows the exact-decimal contract in ``luxor_db_spark.functions.exact``:
+DECIMAL-accumulated sums are order-independent, so results are bit-identical
+between local[32] and a 1000-executor cluster. Integer sums are cast to
+BIGINT in oracles because DuckDB widens to HUGEINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from luxor_db_spark.catalog import load_table, register_views
+from luxor_db_spark.functions.exact import davg, davg_sql, dsum, dsum_sql
+from luxor_db_spark.registry import query
+
+_DISC = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+FLAGSHIP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')}      AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_base,
+       {dsum_sql(_DISC)}             AS sum_disc,
+       {dsum_sql(_CHARGE)}           AS sum_charge,
+       {davg_sql('l_quantity')}      AS avg_qty,
+       COUNT(*)                      AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §7.2 flagship: TPC-H Q1-shaped pricing summary.
+
+    Scan → pushed filter → partial/final hash agg → tiny sort. The scan reads
+    only the 7 referenced columns; at 100 TB this is one wide scan + a
+    6-group shuffle, i.e. bandwidth-bound and embarrassingly parallel.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base"),
+            dsum(disc).alias("sum_disc"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+query("flagship_q1", oracle=FLAGSHIP_SQL)(flagship)
+
+
+@query(
+    "agg_hash",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           {dsum_sql('o_totalprice')} AS sum_price,
+           {davg_sql('o_totalprice')} AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+        davg(F.col("o_totalprice")).alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           MIN(l_discount) AS min_disc,
+           MAX(l_tax) AS max_tax
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        davg(F.col("l_extendedprice")).alias("avg_price"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_tax").alias("max_tax"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(DISTINCT o_orderpriority) AS n_prio
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT): Catalyst expands to a two-phase aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: sketch estimates differ per engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — THE 100 TB cardinality path.
+
+    Fixed-size sketch per group, mergeable across partitions; rows-only
+    because DuckDB's sketch yields different estimates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list is nondeterministic in order → array_sort (§4c.5); joined
+    to a string so the value-hash is list-representation-independent."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates on small-magnitude columns (quantity/discount)
+    so cross-engine accumulation error stays far below the 1e-4 round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentile (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, both linear-interpolating).
+
+    Scale note: exact percentile materializes per-group sorted buffers; at
+    100 TB prefer ``approx_percentile`` (t-digest) — kept exact here because
+    the oracle demands determinism.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 4).alias("med_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 4).alias("p90_qty"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS cnt, {dsum_sql('o_totalprice')} AS total
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+        .filter(F.col("cnt") >= 15)
+    )
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       COUNT(*) AS n,
+       {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping() markers — same SQL text both engines."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {dsum_sql('l_extendedprice')} AS sum_price
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {dsum_sql('o_totalprice')} AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dsum_sql("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END")}
+               AS disc_rev,
+           CAST(SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT)
+               AS big_cnt,
+           {davg_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")}
+               AS avg_f_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregation via CASE (map-side combinable, skew-immune)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_case = F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(
+        0.0
+    )
+    f_case = F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))
+    return li.groupBy("l_returnflag").agg(
+        dsum(disc_case).alias("disc_rev"),
+        F.sum(F.when(F.col("l_quantity") > 30, 1).otherwise(0))
+        .cast("bigint")
+        .alias("big_cnt"),
+        davg(f_case).alias("avg_f_qty"),
+    )

@@ -1,0 +1,145 @@
+"""§2.1 Scans / sources / sinks (SURVEY.md).
+
+Reference status: absent — the reference tree has no I/O code at all
+(reference ``src/main/java/nl/hh/Main.java:1-7`` is its only source file).
+This module defines the target surface Spark-first.
+
+Scale notes: all scans are plain DataFrame reads so Catalyst pushes
+projections and predicates into the Parquet reader (verify with
+``.explain``: ``ReadSchema`` / ``PushedFilters``). Sinks write through the
+distributed committer — no driver-side materialization anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from luxor_db_spark.catalog import load_table, table_path
+from luxor_db_spark.registry import query
+
+
+def _tmpdir(tag: str) -> str:
+    base = os.path.join(tempfile.gettempdir(), "luxor_db_spark_sinks")
+    os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix=f"{tag}_", dir=base)
+
+
+@query("scan_parquet", oracle="SELECT * FROM customer")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Parquet table scan (vectorized columnar reader)."""
+    return load_table(spark, sf_dir, "customer")
+
+
+@query(
+    "scan_projected",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+)
+def scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan: ReadSchema contains only the 3 selected columns."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "scan_filtered",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_quantity > 45.0
+    """,
+)
+def scan_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-pushdown scan: filter lands in PushedFilters."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@query(
+    "scan_union_dirs",
+    oracle="SELECT * FROM supplier UNION ALL SELECT * FROM supplier",
+)
+def scan_union_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-path scan: one reader over several files/dirs (same schema)."""
+    p = table_path(sf_dir, "supplier")
+    return spark.read.parquet(p, p)
+
+
+@query("sink_parquet")  # rows-only: sink round-trip
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink: distributed write, then re-read the committed snapshot."""
+    df = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45.0)
+    out = _tmpdir("sink_parquet")
+    df.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@query("sink_partitioned")  # rows-only: partitioned sink round-trip
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write; re-read prunes by partition column.
+
+    At 100 TB this layout is what makes ``WHERE l_returnflag='R'`` a
+    partition-pruned scan instead of a full read.
+    """
+    df = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    out = _tmpdir("sink_partitioned")
+    df.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    # Partition-pruned re-read: only the 'R' directory is listed/scanned.
+    return spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+
+
+@query("scan_csv_json")  # rows-only: lossy text formats, round-trip check
+def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON ingest round-trip with explicit schemas.
+
+    Events → JSON lines → read back with a declared schema (schema inference
+    is a scale anti-pattern: it triggers an extra full pass).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    out_json = _tmpdir("scan_json")
+    ev.write.mode("overwrite").json(out_json)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    back_json = spark.read.schema(schema).json(out_json)
+
+    # CSV leg: part (no timestamps) with header, explicit schema on read.
+    pt = load_table(spark, sf_dir, "part")
+    out_csv = _tmpdir("scan_csv")
+    pt.write.mode("overwrite").option("header", True).csv(out_csv)
+    csv_schema = T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    )
+    back_csv = spark.read.schema(csv_schema).option("header", True).csv(out_csv)
+
+    return back_json.select(
+        F.col("event_id").alias("row_id"),
+        F.col("event_type").alias("tag"),
+    ).unionByName(
+        back_csv.select(
+            F.col("p_partkey").alias("row_id"), F.col("p_type").alias("tag")
+        )
+    )

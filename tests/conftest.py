@@ -1,0 +1,106 @@
+"""Shared fixtures: one SparkSession + one DuckDB connection per test session.
+
+The parity harness here mirrors the driver's differential check
+(row-count + column names + order-insensitive values) so that a green
+``pytest tests/`` locally predicts a green CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from luxor_db_spark.catalog import TABLES, table_path
+from luxor_db_spark.session import get_spark
+
+SF_DIR = os.environ.get("LUXOR_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="luxor-db-spark-tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SF_DIR, t)}')"
+        )
+    yield con
+    con.close()
+
+
+def _canon_cell(v) -> str:
+    """Canonical string form of one cell, robust to engine type quirks."""
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            v = 0.0  # normalize -0.0
+        # round to 6 decimals to absorb sub-round() representation noise;
+        # queries themselves already ROUND(·,4) computed floats.
+        return f"{v:.6f}".rstrip("0").rstrip(".")
+    if isinstance(v, Decimal):
+        return _canon_cell(float(v))
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name, canonicalize cells, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def assert_parity(sdf, duck_con, sql: str, key: str = "?") -> None:
+    """Order-insensitive differential check: Spark result vs DuckDB oracle."""
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    d = duck_con.execute(sql)
+    d_cols = [c[0] for c in d.description]
+    d_rows = d.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"[{key}] column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"[{key}] row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
+    )
+    cs, cd = canonical_rows(s_cols, s_rows), canonical_rows(d_cols, d_rows)
+    if cs != cd:
+        diff_s = [r for r in cs if r not in set(cd)][:5]
+        diff_d = [r for r in cd if r not in set(cs)][:5]
+        raise AssertionError(
+            f"[{key}] value mismatch ({len(diff_s)}+ differing rows)\n"
+            f"  spark-only: {diff_s}\n  duck-only:  {diff_d}\n"
+            f"  cols: {sorted(s_cols)}"
+        )
