@@ -1,1 +1,361 @@
-"""Placeholder — filled in by category build-out (SURVEY.md §2)."""
+"""§2.8 Scalar function families (SURVEY.md).
+
+Reference status: absent (reference ``Main.java:1-7`` only).
+
+Dialect bridging (SURVEY §4c): DuckDB's length/levenshtein/date-part
+functions return BIGINT where Spark returns INT → both sides cast to INT;
+DuckDB dayofweek is 0=Sunday where Spark is 1=Sunday → oracle adds 1; DuckDB
+regexp_replace needs the 'g' flag to match Spark's replace-all; double→int
+casts are avoided entirely (Spark truncates, DuckDB rounds).
+
+Everything here is a Catalyst expression inside whole-stage codegen — no
+Python crossing, so these run at JVM speed at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from luxor_db_spark.catalog import load_table
+from luxor_db_spark.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS up,
+           LOWER(p_brand) AS lo,
+           CAST(LENGTH(p_name) AS INT) AS len,
+           SUBSTRING(p_name, 1, 5) AS sub,
+           REPLACE(p_name, ' ', '_') AS rep,
+           LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS pad,
+           REVERSE(p_brand) AS rev,
+           CONCAT(p_brand, ':', p_type) AS cat,
+           TRIM(CONCAT('  ', p_type, ' ')) AS tr
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.length("p_name").cast("int").alias("len"),
+        F.substring("p_name", 1, 5).alias("sub"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("rep"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("pad"),
+        F.reverse("p_brand").alias("rev"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("cat"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("tr"),
+    )
+
+
+@query(
+    "fn_string_split",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def fn_string_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + explode: one row per token (generator inside codegen)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
+           (p_type SIMILAR TO '[A-Z]+') AS is_upper_word
+    FROM part
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSIX-safe regex subset only (§4c.6); DuckDB needs the 'g' flag to
+    match Spark's replace-all semantics."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("starred"),
+        F.col("p_type").rlike("^[A-Z]+$").alias("is_upper_word"),
+    )
+
+
+@query(
+    "fn_levenshtein",
+    oracle="""
+    SELECT c_custkey,
+           CAST(levenshtein(c_name, 'Customer#000000042') AS INT) AS dist
+    FROM customer WHERE c_custkey < 100
+    """,
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return c.select(
+        "c_custkey",
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000042"))
+        .cast("int")
+        .alias("dist"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS yr,
+           CAST(MONTH(o_orderdate) AS INT) AS mo,
+           CAST(DAY(o_orderdate) AS INT) AS dd,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate AS DATE) + 7 AS ship_by,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
+                AS INT) AS days_to_99,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dd"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(d, 7).alias("ship_by"),
+        F.datediff(F.lit("1999-01-01").cast("date"), d)
+        .cast("int")
+        .alias("days_to_99"),
+        F.last_day(d).alias("month_end"),
+    )
+
+
+@query(
+    "fn_date_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(dayofyear(ts) AS INT) AS doy,
+           CAST(week(ts) AS INT) AS iso_week
+    FROM events
+    """,
+)
+def fn_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect-mapped parts: Spark dayofweek is 1=Sunday, DuckDB 0=Sunday
+    (oracle adds 1); week is ISO in both (§4c.4)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.dayofyear("ts").cast("int").alias("doy"),
+        F.weekofyear("ts").cast("int").alias("iso_week"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           SQRT(l_extendedprice) AS sq,
+           EXP(l_discount) AS ex,
+           LN(l_extendedprice) AS ln_price,
+           POWER(l_quantity, 2) AS pw,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS fl,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS ce,
+           ABS(l_discount - 0.05) AS ab,
+           CAST(l_orderkey % 7 AS BIGINT) AS md,
+           CAST(SIGN(l_discount - 0.05) AS INT) AS sg,
+           GREATEST(l_quantity, l_extendedprice / 1000.0) AS gt,
+           LEAST(l_quantity, l_extendedprice / 1000.0) AS lt
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family — all raw doubles (identical libm-style results for the
+    same inputs; no rounding per the exact-float contract)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price_k = F.col("l_extendedprice") / 1000.0
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sqrt("l_extendedprice").alias("sq"),
+        F.exp("l_discount").alias("ex"),
+        F.log("l_extendedprice").alias("ln_price"),
+        F.pow("l_quantity", 2).alias("pw"),
+        F.floor("l_extendedprice").cast("bigint").alias("fl"),
+        F.ceil("l_extendedprice").cast("bigint").alias("ce"),
+        F.abs(F.col("l_discount") - 0.05).alias("ab"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("md"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("sg"),
+        F.greatest(F.col("l_quantity"), price_k).alias("gt"),
+        F.least(F.col("l_quantity"), price_k).alias("lt"),
+    )
+
+
+@query(
+    "fn_cond",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS st2,
+           NULLIF(o_orderpriority, '5-LOW') AS pri,
+           CASE WHEN o_totalprice > 250000.0 THEN 'big' ELSE 'small' END AS sz
+    FROM orders
+    """,
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")
+        ).alias("st2"),
+        F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")).alias("pri"),
+        F.when(F.col("o_totalprice") > 250000.0, "big")
+        .otherwise("small")
+        .alias("sz"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_s,
+           CAST(o_orderkey AS DOUBLE) AS key_d,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_s,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_s,
+           CAST(SUBSTRING(CAST(o_orderkey AS VARCHAR), 1, 3) AS INT) AS key_prefix
+    FROM orders
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast lattice: int↔string↔double, double→decimal→string, ts→date→string.
+    double→int is deliberately absent (Spark truncates, DuckDB rounds)."""
+    o = load_table(spark, sf_dir, "orders")
+    key_s = F.col("o_orderkey").cast("string")
+    return o.select(
+        "o_orderkey",
+        key_s.alias("key_s"),
+        F.col("o_orderkey").cast("double").alias("key_d"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_s"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_s"),
+        F.substring(key_s, 1, 3).cast("int").alias("key_prefix"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(len(list_distinct(embedding)) AS INT) AS n_distinct,
+           CAST(embedding[1] AS DOUBLE) AS e1,
+           CAST(list_max(embedding) AS DOUBLE) AS mx,
+           CAST(list_min(embedding) AS DOUBLE) AS mn,
+           list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array basics over the 64-dim embedding column; float32 values are
+    cast to double (exact) so both engines hash identical scalars."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.size(F.array_distinct("embedding")).cast("int").alias("n_distinct"),
+        F.element_at("embedding", 1).cast("double").alias("e1"),
+        F.array_max("embedding").cast("double").alias("mx"),
+        F.array_min("embedding").cast("double").alias("mn"),
+        F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
+    )
+
+
+@query(
+    "fn_array_hof",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           COALESCE(list_sum(list_filter(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE)), x -> x > 0)), 0.0) AS pos_sum
+    FROM embeddings
+    """,
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order transform/filter/aggregate over arrays — the JVM-side
+    (non-UDF) path for vector math; sequential fold matches list_sum."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.aggregate(
+            F.filter(
+                F.transform("embedding", lambda x: x.cast("double")),
+                lambda x: x > 0,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("pos_sum"),
+    )
+
+
+@query("fn_map")  # rows-only: map hashing across engines is unreliable (§2.8)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON props → MapType: keys/values/lookup (map ordering prevents a
+    stable cross-engine hash, so rows-only by contract)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return ev.select(
+        "event_id",
+        m.alias("props_map"),
+        F.map_keys(m).alias("keys"),
+        F.map_values(m).alias("vals"),
+        m["k"].alias("k_val"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id", k.alias("k_str"), k.cast("int").alias("k_int")
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS h_md5,
+           sha256(c_name) AS h_sha256
+    FROM customer
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content hashes (md5/sha256 are engine-portable by definition —
+    xxhash64 is not, it's Spark-internal and stays out of oracle paths)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("h_md5"),
+        F.sha2("c_name", 256).alias("h_sha256"),
+    )

@@ -1,1 +1,273 @@
-"""Placeholder — filled in by category build-out (SURVEY.md §2)."""
+"""§2.5 Window functions (SURVEY.md).
+
+Reference status: absent (reference ``Main.java:1-7`` only).
+
+Determinism contract: every ORDER BY inside a window carries a unique
+tiebreaker column (orderkey/event_id) so rank assignments are identical
+across engines and partitionings. Rank-family values (rank/dense_rank/
+percent_rank/cume_dist) are tie-stable by definition and need no tiebreak.
+
+Scale notes: a window = one shuffle on partitionBy + per-partition sort.
+All partitions here (customer, returnflag, user) are high-cardinality or
+low-skew; per-group top-k uses row_number + filter, which Catalyst rewrites
+to a group-limit (InferWindowGroupLimit) instead of a full sort+filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from luxor_db_spark.catalog import load_table
+from luxor_db_spark.registry import query
+
+
+@query(
+    "win_row_number",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_custkey", F.row_number().over(w).alias("rn")
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           RANK()       OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS drnk
+    FROM lineitem
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ntile: single-partition window — fine for ranked reporting
+    output, never for fact-scale data (documented global-sort shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@query(
+    "win_percent",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           PERCENT_RANK() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity) AS pr,
+           CUME_DIST() OVER (PARTITION BY l_returnflag
+                             ORDER BY l_quantity) AS cd
+    FROM lineitem
+    """,
+)
+def win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw (unrounded) on purpose: both engines compute the same integer
+    ratio (rank-1)/(n-1) as one double division → bit-identical, while
+    ROUND could land on an exact tie (e.g. rank/n = 0.00005)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(value, 1, 0.0) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev_value,
+           LEAD(event_id, 1)  OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_event
+    FROM events
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1, 0.0).over(w).alias("prev_value"),
+        F.lead("event_id", 1).over(w).alias("next_event"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER w AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last over an explicit full-partition frame (last_value with the
+    default frame is a classic footgun — it would return the current row)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    )
+
+
+@query(
+    "win_running",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total,
+           COUNT(*) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_n
+    FROM orders
+    """,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals; DECIMAL accumulation keeps every prefix sum exact and
+    engine-identical (functions/exact.py contract)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@query(
+    "win_moving",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS moving_avg7
+    FROM events
+    """,
+)
+def win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average (decimal-sum / count, exact and portable)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("moving_avg7"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                          RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_within5
+    FROM lineitem
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: value-based bounds over the numeric order key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rangeBetween(-5, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.count(F.lit(1)).over(w).alias("n_within5"),
+    )
+
+
+@query(
+    "win_topk_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: row_number + filter; Catalyst's
+    InferWindowGroupLimit keeps only k rows per group before the sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

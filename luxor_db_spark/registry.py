@@ -42,7 +42,7 @@ def load_all_queries() -> dict[str, Callable]:
     global _LOADED
     if not _LOADED:
         # Import order mirrors SURVEY.md §2 categories.
-        from luxor_db_spark.sources import scans  # noqa: F401  (§2.1)
+        from luxor_db_spark.sources import multimodal, scans  # noqa: F401  (§2.1)
         from luxor_db_spark.operators import (  # noqa: F401
             filters,  # §2.2
             joins,  # §2.3

@@ -1,0 +1,103 @@
+"""Multimodal columns: binary payloads + typed metadata (BASELINE.json
+mandate: "multimodal columns" for training-data pipelines).
+
+Design (the part that must be real at 100 TB):
+- media is an opaque ``binary`` column riding next to typed metadata;
+- decode / feature-extract runs as Arrow-batched ``mapInPandas`` so bytes
+  never round-trip through Python row objects;
+- partitioning is by the metadata (never by payload), so planning stays
+  cheap and payload bytes move at most once.
+
+The actual image/audio decode is STUBBED — codec libraries are not in this
+container. ``_stub_decode_image`` is a clearly-marked deterministic fake
+standing in for e.g. PIL/libvips; the Spark-side plumbing (schema, batch
+iteration, UDF signature) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from luxor_db_spark.catalog import load_table
+from luxor_db_spark.registry import query
+
+_META_SCHEMA = (
+    "doc_id long, n_bytes int, format string, width int, height int, "
+    "sha_prefix string"
+)
+
+
+def _stub_decode_image(payload: bytes) -> tuple[str, int, int]:
+    """STUB standing in for a real image decoder (PIL/libvips absent here).
+
+    Deterministic fake: derives (format, width, height) from the payload
+    bytes so tests are stable. A real deployment replaces ONLY this function;
+    the mapInPandas plumbing around it is production-shaped.
+    """
+    h = hash(payload) & 0x7FFFFFFF
+    fmt = ("png", "jpeg", "webp")[h % 3]
+    return fmt, 64 + h % 1920, 64 + (h >> 11) % 1080
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched decode: one pandas frame per batch, payload stays bytes."""
+    import hashlib
+
+    for pdf in batches:
+        fmts, ws, hs, shas = [], [], [], []
+        for payload in pdf["media"]:
+            fmt, w, h = _stub_decode_image(payload)
+            fmts.append(fmt)
+            ws.append(w)
+            hs.append(h)
+            shas.append(hashlib.sha256(payload).hexdigest()[:16])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["media"].map(len).astype("int32"),
+                "format": fmts,
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "sha_prefix": shas,
+            }
+        )
+
+
+@query("mm_decode_meta")  # rows-only: decode is a documented stub
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → typed metadata via mapInPandas.
+
+    ``documents.text`` bytes stand in for media payloads (no binary fixture
+    table exists); everything downstream of the payload column is the real
+    multimodal pipeline shape.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    return d.mapInPandas(_decode_batches, schema=_META_SCHEMA)
+
+
+@query(
+    "mm_meta_stats",
+    oracle="""
+    SELECT source, COUNT(*) AS n_assets,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+           CAST(MAX(n_chars) AS BIGINT) AS max_bytes
+    FROM documents GROUP BY source
+    """,
+)
+def mm_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata aggregation over the asset catalog — the query pattern
+    that must NEVER touch payload bytes (column pruning keeps the binary
+    column out of the scan; verify via ReadSchema)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_chars").cast("bigint").alias("total_bytes"),
+        F.max("n_chars").cast("bigint").alias("max_bytes"),
+    )

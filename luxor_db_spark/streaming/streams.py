@@ -1,1 +1,320 @@
-"""Placeholder — filled in by category build-out (SURVEY.md §2)."""
+"""§2.9 Structured Streaming (SURVEY.md).
+
+Reference status: absent (reference ``Main.java:1-7`` only).
+
+Harness: the batch ``events`` table replays as a file-source stream (same
+Parquet file, ``pathGlobFilter``), drains through a memory sink with
+``processAllAvailable()``, and the sink table is returned as the result
+DataFrame. Keys marked SQL in SURVEY §2.9 are checked against the
+batch-equivalent semantics on static ``events``; watermark-drop and
+stream-stream time-bound behavior are rows-only by contract.
+
+Scale notes: every stateful operator here keeps bounded per-key state in the
+state store (RocksDB-backed on a real cluster) and is keyed by user/window —
+the same shuffle-by-key story as batch aggregation. Watermarks bound state
+retention; nothing buffers unbounded input.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from luxor_db_spark.catalog import load_table
+from luxor_db_spark.functions.exact import dsum, dsum_sql
+from luxor_db_spark.registry import query
+
+_SINK_IDS = itertools.count()
+
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a Structured Streaming file source (ns→µs ts)."""
+    from luxor_db_spark.session import configure
+
+    configure(spark)
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(df: DataFrame, key: str, mode: str) -> DataFrame:
+    """Run a streaming query to completion into a memory sink; return it."""
+    name = f"luxor_{key}_{next(_SINK_IDS)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+@query(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n, {dsum_sql('value')} AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (complete mode → all windows)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"), "n", "sum_value"
+        )
+    )
+    return _drain(agg, "stream_tumbling", "complete")
+
+
+@query(
+    "stream_sliding",
+    oracle=f"""
+    SELECT window_start, COUNT(*) AS n, {dsum_sql('value')} AS sum_value
+    FROM (
+      SELECT CAST(date_trunc('hour', ts)
+               + (CAST(EXTRACT(minute FROM ts) AS INT) // 15) * INTERVAL 15 MINUTE
+               - k * INTERVAL 15 MINUTE AS TIMESTAMP) AS window_start,
+             value
+      FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS offs(k))
+    GROUP BY window_start
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 15 min: each event lands in 4 windows.
+
+    Oracle reconstruction: the containing window starts are
+    floor15(ts) - k*15min for k in 0..3.
+    """
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+    return _drain(agg, "stream_sliding", "complete")
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       <= INTERVAL 10 MINUTE
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per user via Spark's session_window
+    operator — the same merging-window operator Structured Streaming uses
+    for streaming sessionization (oracle: gaps-and-islands rewrite).
+
+    Run in batch mode because append-mode streaming only emits sessions
+    sealed by the watermark — the trailing sessions of a finite replay
+    would be withheld, which is watermark semantics, not session semantics
+    (that behavior is covered rows-only by `stream_watermark`).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_last", "n_events")
+    )
+
+
+@query("stream_watermark")  # rows-only: watermark retention is engine-specific
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling windows, append mode: only windows sealed by the
+    watermark (max event time − 30 min) are emitted; the stream's trailing
+    windows stay in state — the late-data-drop contract."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    return _drain(agg, "stream_watermark", "append")
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type): dropDuplicates keeps one
+    state entry per key — equivalent to batch DISTINCT on the key columns."""
+    ev = stream_events(spark, sf_dir)
+    ded = ev.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return _drain(ded, "stream_dedup", "append")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT event_id, user_id, c_name, c_mktsegment, value
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment: each micro-batch broadcast-joins the static
+    dimension; no streaming state at all."""
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    j = ev.join(cust, ev.user_id == cust.c_custkey).select(
+        "event_id", "user_id", "c_name", "c_mktsegment", "value"
+    )
+    return _drain(j, "stream_static_join", "append")
+
+
+@query("stream_stream_join")  # rows-only: time-bound join emission timing
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream join: purchases with a view by the same user in the
+    preceding hour. Both sides watermarked; the range condition bounds the
+    buffered state on each side."""
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    j = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "view_id", "p_user", "p_ts", "v_ts")
+    return _drain(j, "stream_stream_join", "append")
+
+
+_STATE_SCHEMA = T.StructType([T.StructField("cents", T.LongType())])
+_STATEFUL_OUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("running_total", T.DoubleType()),
+    ]
+)
+
+
+def _running_sum_fn(key, pdf_iter, state):
+    """Per-user running total, exact in integer cents (see functions/exact:
+    float accumulation would drift; int cents are engine-portable)."""
+    import pandas as pd
+
+    carry = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cents = (pdf["value"] * 100).round().astype("int64").cumsum() + carry
+        carry = int(cents.iloc[-1])
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "running_total": cents / 100.0,
+            }
+        )
+    state.update((carry,))
+
+
+@query(
+    "stream_stateful",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value * 100 AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS running_total
+    FROM events
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing: applyInPandasWithState keeps one
+    integer-cents accumulator per user across micro-batches and emits a
+    running total per event (batch oracle: running window sum)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _running_sum_fn,
+        outputStructType=_STATEFUL_OUT,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain(out, "stream_stateful", "append")
+
+
+@query("stream_output_modes")  # rows-only: mode semantics demonstration
+def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """append/update/complete semantics on one aggregation: complete re-emits
+    every group each batch, update only changed groups, append only sealed
+    (watermark-passed) groups. Returns the complete-mode final table with
+    the update-mode emission count attached as a literal column."""
+    agg_src = stream_events(spark, sf_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    complete = _drain(agg_src, "som_complete", "complete")
+    update = _drain(agg_src, "som_update", "update")
+    n_update_rows = update.count()
+    return complete.withColumn("update_emissions", F.lit(n_update_rows))
