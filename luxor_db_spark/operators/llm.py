@@ -627,6 +627,112 @@ def llm_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_langid",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(list_distinct({_TOKENS_DUCK})) AS word
+      FROM documents
+    ),
+    prof AS (
+      SELECT lang AS plang, word FROM (
+        SELECT lang, word, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY COUNT(*) DESC, word) AS rn
+        FROM tok GROUP BY lang, word)
+      WHERE rn <= 20
+    ),
+    hits AS (
+      SELECT t.doc_id, t.lang, p.plang, COUNT(*) AS n_hits
+      FROM tok t JOIN prof p ON t.word = p.word
+      GROUP BY t.doc_id, t.lang, p.plang
+    )
+    SELECT doc_id, plang AS pred_lang, n_hits,
+           CAST(plang = lang AS BOOLEAN) AS correct
+    FROM (SELECT doc_id, lang, plang, n_hits,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY n_hits DESC, plang) AS rn
+          FROM hits)
+    WHERE rn = 1
+    """,
+)
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (Cavnar–Trenkle n-gram-profile style, word-
+    unigram variant): build a top-20-token profile per language from the
+    corpus itself, score each doc by distinct-token overlap with every
+    profile, predict the argmax (ties → lexicographic language).
+
+    Scale shape: profiles are vocabulary-bounded (5 langs × 20 terms) →
+    broadcast; the per-doc scoring join never shuffles the corpus text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.expr(_TOKENS))).alias("word"),
+    )
+    wp = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("word")
+    )
+    prof = (
+        tok.groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("plang"), "word")
+    )
+    hits = (
+        tok.join(broadcast(prof), "word")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("plang")
+    )
+    return (
+        hits.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("plang").alias("pred_lang"),
+            "n_hits",
+            (F.col("plang") == F.col("lang")).alias("correct"),
+        )
+    )
+
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "llm_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_DUCK}) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT) AS bpe_tokens,
+           CAST(CEIL(CAST(n_chars AS DOUBLE) / 4) AS INT) AS est_subwords
+    FROM documents
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, BPE-ish regex pieces
+    (letter runs / digit runs / single punctuation — the GPT-2 pre-tokenizer
+    shape, POSIX-safe subset), and the chars/4 sub-word estimate used for
+    quick corpus budgeting. All JVM-side regex — no Python tokenizer in
+    the scan path."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr(_TOKENS)).cast("int").alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)"))
+        .cast("int")
+        .alias("bpe_tokens"),
+        F.ceil(F.col("n_chars").cast("double") / 4).cast("int").alias(
+            "est_subwords"
+        ),
+    )
+
+
 @query("llm_ann_ivf")  # rows-only: approximate by construction
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer, probe the 2 nearest cells.
