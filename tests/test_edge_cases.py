@@ -1,0 +1,115 @@
+"""Per-operator edge cases the sf-fixture oracle can't see (SURVEY.md §5.3):
+empty inputs, all-null groups, single-row windows, as-of misses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def _empty(spark, schema="k int, v double"):
+    return spark.createDataFrame([], schema)
+
+
+def test_agg_on_empty_input(spark):
+    df = _empty(spark)
+    out = df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    assert out == []
+    # Global agg on empty input: one row, null sum, zero count.
+    g = df.agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+    assert g.s is None and g.n == 0
+
+
+def test_join_on_empty_side(spark):
+    a = spark.createDataFrame([(1, "x")], "k int, a string")
+    e = _empty(spark, "k int, b string")
+    assert a.join(e, "k", "inner").count() == 0
+    left = a.join(e, "k", "left").collect()
+    assert len(left) == 1 and left[0].b is None
+    assert a.join(e, "k", "left_anti").count() == 1
+
+
+def test_all_null_group_key(spark):
+    """Nulls form one group in GROUP BY (SQL semantics both engines share)."""
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (1, 3.0)],
+        T.StructType(
+            [
+                T.StructField("k", T.IntegerType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+    )
+    rows = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert rows[None] == 3.0 and rows[1] == 3.0
+
+
+def test_window_single_row_frames(spark):
+    df = spark.createDataFrame([(1, 10.0)], "k int, v double")
+    w = Window.partitionBy("k").orderBy("v")
+    r = df.select(
+        F.row_number().over(w).alias("rn"),
+        F.lag("v", 1).over(w).alias("lg"),
+        F.lead("v", 1).over(w).alias("ld"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("rs"),
+    ).collect()[0]
+    assert (r.rn, r.lg, r.ld, r.rs) == (1, None, None, 10.0)
+
+
+def test_asof_rewrite_no_match_drops_row(spark):
+    """The as-of inner rewrite drops probe rows with no candidate ≤ ts —
+    matching DuckDB's inner ASOF JOIN (not the LEFT variant)."""
+    ev = spark.createDataFrame([(1, 100, 5)], "event_id int, ts int, uid int")
+    orders = spark.createDataFrame([(5, 200)], "uid int, odate int")
+    j = ev.join(
+        orders, (ev.uid == orders.uid) & (orders.odate <= ev.ts), "inner"
+    ).groupBy("event_id").agg(F.max("odate").alias("last"))
+    assert j.count() == 0
+
+
+def test_intersect_except_null_rows(spark):
+    """Set ops treat NULL = NULL as equal (distinct semantics), unlike joins."""
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    a = spark.createDataFrame([(None,), (1,)], schema)
+    b = spark.createDataFrame([(None,), (2,)], schema)
+    assert [r.k for r in a.intersect(b).collect()] == [None]
+    assert {r.k for r in a.exceptAll(b).collect()} == {1}
+
+
+def test_explode_empty_array_emits_nothing(spark):
+    df = spark.createDataFrame([(1, []), (2, ["a"])], "id int, xs array<string>")
+    out = df.select("id", F.explode("xs").alias("x")).collect()
+    assert [(r.id, r.x) for r in out] == [(2, "a")]
+
+
+def test_cosine_zero_vector_is_null_safe(spark):
+    """Zero-norm embeddings divide by zero → NaN/null, never an exception."""
+    from luxor_db_spark.operators.llm import _cosine
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], [1.0, 0.0])],
+        "id int, a array<float>, b array<float>",
+    )
+    r = df.select(_cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]
+    import math
+
+    assert r.c is None or math.isnan(r.c)
+
+
+def test_dedup_exact_keeps_lowest_id(spark, sf_dir):
+    from luxor_db_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    kept = QUERIES["llm_dedup_exact"](spark, sf_dir)
+    # kept doc_ids are unique per fingerprint and are minima: re-deduping is
+    # a no-op.
+    assert kept.count() == kept.select("fp").distinct().count()
+
+
+def test_sort_nulls_last_contract(spark):
+    schema = T.StructType([T.StructField("v", T.IntegerType())])
+    df = spark.createDataFrame([(None,), (2,), (1,)], schema)
+    out = [r.v for r in df.orderBy(F.col("v").asc_nulls_last()).collect()]
+    assert out == [1, 2, None]

@@ -1,0 +1,123 @@
+"""Property-based algebraic identities (SURVEY.md §5.4).
+
+Hypothesis generates small frames; each property is an identity any
+relational engine must satisfy, independent of the DuckDB oracle. These
+catch semantic regressions in operator composition (e.g. a semi-join that
+duplicates probe rows) that fixture-specific oracles might miss.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key (small domain → dups)
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows or [(None, None)], "k int, v int").filter(
+        F.col("k").isNotNull() if not rows else F.lit(True)
+    )
+
+
+@given(a=ROWS, b=ROWS)
+@settings(**SETTINGS)
+def test_union_all_count_additive(spark, a, b):
+    da, db = _df(spark, a), _df(spark, b)
+    assert da.unionAll(db).count() == da.count() + db.count()
+
+
+@given(a=ROWS, b=ROWS)
+@settings(**SETTINGS)
+def test_semi_join_is_filtered_probe(spark, a, b):
+    """left_semi ≡ probe rows whose key appears in build; never duplicates."""
+    da, db = _df(spark, a), _df(spark, b)
+    semi = da.join(db.select("k").distinct(), "k", "left_semi")
+    keys = {r.k for r in db.select("k").distinct().collect()}
+    expected = [r for r in da.collect() if r.k in keys]
+    assert sorted(map(tuple, semi.collect())) == sorted(map(tuple, expected))
+
+
+@given(a=ROWS, b=ROWS)
+@settings(**SETTINGS)
+def test_semi_anti_partition_probe(spark, a, b):
+    """semi ∪ anti = probe side, disjointly (per-row multiset identity)."""
+    da, db = _df(spark, a), _df(spark, b)
+    semi = da.join(db, "k", "left_semi")
+    anti = da.join(db, "k", "left_anti")
+    assert semi.count() + anti.count() == da.count()
+
+
+@given(a=ROWS, b=ROWS)
+@settings(**SETTINGS)
+def test_intersect_all_multiplicity_min(spark, a, b):
+    """INTERSECT ALL keeps min(multiplicity_a, multiplicity_b) per row."""
+    from collections import Counter
+
+    da, db = _df(spark, a), _df(spark, b)
+    got = Counter(map(tuple, da.intersectAll(db).collect()))
+    ca, cb = Counter(map(tuple, da.collect())), Counter(map(tuple, db.collect()))
+    want = {t: min(ca[t], cb[t]) for t in ca if t in cb}
+    assert got == Counter(want)
+
+
+@given(a=ROWS, b=ROWS)
+@settings(**SETTINGS)
+def test_except_all_multiplicity_diff(spark, a, b):
+    """EXCEPT ALL keeps max(0, mult_a - mult_b) per row."""
+    from collections import Counter
+
+    da, db = _df(spark, a), _df(spark, b)
+    got = Counter(map(tuple, da.exceptAll(db).collect()))
+    ca, cb = Counter(map(tuple, da.collect())), Counter(map(tuple, db.collect()))
+    want = {t: ca[t] - cb.get(t, 0) for t in ca if ca[t] > cb.get(t, 0)}
+    assert got == Counter(want)
+
+
+@given(rows=ROWS)
+@settings(**SETTINGS)
+def test_row_number_is_permutation_per_partition(spark, rows):
+    """row_number over any partition is exactly 1..n within each group."""
+    df = _df(spark, rows)
+    w = Window.partitionBy("k").orderBy("v", "k")
+    rn = df.withColumn("rn", F.row_number().over(w))
+    for key, grp in __import__("itertools").groupby(
+        sorted(rn.collect(), key=lambda r: (r.k, r.rn)), key=lambda r: r.k
+    ):
+        ranks = [r.rn for r in grp]
+        assert ranks == list(range(1, len(ranks) + 1)), f"group {key}"
+
+
+@given(rows=ROWS)
+@settings(**SETTINGS)
+def test_groupby_sum_equals_total(spark, rows):
+    """Sum of per-group sums equals the global sum (partial-agg soundness)."""
+    df = _df(spark, rows)
+    per_group = df.groupBy("k").agg(F.sum("v").alias("s"))
+    total_g = per_group.agg(F.sum("s")).collect()[0][0]
+    total = df.agg(F.sum("v")).collect()[0][0]
+    assert total_g == total
+
+
+@given(rows=ROWS)
+@settings(**SETTINGS)
+def test_distinct_idempotent_and_bounded(spark, rows):
+    df = _df(spark, rows)
+    d1 = df.distinct()
+    assert d1.count() == d1.distinct().count()
+    assert d1.count() <= df.count()
