@@ -1,0 +1,106 @@
+"""Plan-shape regression tests: the scale contract, asserted on real plans.
+
+Result-parity (test_parity) proves correctness at test scale; these prove the
+*plans* stay 100 TB-viable — filters reach the Parquet reader, scans are
+column-pruned, dimension joins broadcast, top-k compiles to TakeOrdered.
+A regression here is invisible at sf0.01 but catastrophic at cluster scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from luxor_db_spark.plans.inspect import PlanAudit
+from luxor_db_spark.registry import QUERIES, load_all_queries
+
+load_all_queries()
+
+LINEITEM_COLS = {
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+}
+DOCUMENT_COLS = {"doc_id", "text", "lang", "source", "n_chars"}
+
+
+@pytest.fixture(scope="module")
+def audit(spark, sf_dir):
+    def _audit(key: str) -> PlanAudit:
+        return PlanAudit.of(QUERIES[key](spark, sf_dir))
+
+    return _audit
+
+
+def test_scan_filtered_pushes_predicate(audit):
+    a = audit("scan_filtered")
+    a.assert_filter_pushed("l_quantity")
+
+
+def test_scan_projected_prunes_columns(audit):
+    a = audit("scan_projected")
+    a.assert_reads_only(
+        LINEITEM_COLS, {"l_orderkey", "l_linenumber", "l_quantity"}
+    )
+
+
+def test_flagship_pushes_date_filter_and_prunes(audit):
+    a = audit("flagship_q1")
+    a.assert_filter_pushed("l_shipdate")
+    # The four key/FK columns are never needed by Q1.
+    a.assert_reads_only(
+        LINEITEM_COLS,
+        LINEITEM_COLS - {"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"},
+    )
+
+
+def test_star_join_broadcasts_dimensions(audit):
+    a = audit("join_multiway")
+    a.assert_broadcasts(at_least=2)  # nation + region pinned broadcast
+    a.assert_no_cartesian()
+    a.assert_filter_pushed("o_orderdate")
+
+
+def test_broadcast_join_no_fact_shuffle(audit):
+    a = audit("join_broadcast")
+    a.assert_broadcasts(at_least=2)
+
+
+def test_metadata_stats_never_reads_payload(audit):
+    """The multimodal catalog query must not scan the payload/text column."""
+    a = audit("mm_meta_stats")
+    a.assert_reads_only(DOCUMENT_COLS, {"source", "n_chars"})
+
+
+def test_topk_compiles_to_take_ordered(audit):
+    a = audit("topk")
+    assert a.has_take_ordered, "global top-k should be TakeOrderedAndProject"
+
+
+def test_cosine_topk_broadcasts_query_vector(audit):
+    a = audit("llm_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in a.text or a.n_broadcast_joins >= 1
+    a.assert_filter_pushed("vec_id")
+
+
+def test_langid_profile_is_broadcast(audit):
+    """Corpus text must not shuffle for scoring: the profile side broadcasts."""
+    a = audit("llm_langid")
+    a.assert_broadcasts(at_least=1)
+
+
+def test_asof_rewrite_is_equi_join(audit):
+    """The as-of rewrite must remain a (shuffled or broadcast) equi-join —
+    a nested-loop fallback would be quadratic per user at scale."""
+    a = audit("join_asof")
+    assert (
+        a.n_sortmerge_joins + a.n_shuffled_hash_joins + a.n_broadcast_joins >= 1
+    ), a.text
+    a.assert_no_cartesian()
