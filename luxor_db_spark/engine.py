@@ -1,0 +1,83 @@
+"""User-facing engine facade: the API a reference user would switch to.
+
+The reference scaffold (``Main.java:1-7``) implies an embeddable database
+handle; this is its Spark-native equivalent: one object wrapping a
+SparkSession + a scale-factor directory, exposing SQL, table access, the
+full operator registry, and streaming sources.
+
+    from luxor_db_spark.engine import LuxorEngine
+    eng = LuxorEngine.local()                # or LuxorEngine(spark, sf_dir)
+    eng.sql("SELECT COUNT(*) FROM lineitem").show()
+    eng.table("orders").filter(...)          # plain DataFrame
+    eng.run("llm_dedup_exact")               # any registry key
+    eng.stream_events()                      # Structured Streaming source
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from luxor_db_spark.catalog import DEFAULT_SF_DIR, TABLES, load_table
+from luxor_db_spark.registry import ORACLES, load_all_queries
+from luxor_db_spark.session import configure, get_spark
+
+
+class LuxorEngine:
+    """Analytical engine over the fixture catalog (or any dir with the same
+    table layout). All state is a session + path: cheap to construct, safe
+    to share across threads (SparkSession is thread-safe for reads)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = configure(spark)
+        self.sf_dir = sf_dir
+        self._views_registered = False
+
+    @classmethod
+    def local(cls, sf_dir: str = DEFAULT_SF_DIR, **session_kwargs) -> "LuxorEngine":
+        """Engine on a tuned local session (tests, notebooks, bench)."""
+        return cls(get_spark(**session_kwargs), sf_dir)
+
+    # --- catalog -----------------------------------------------------------
+
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+    def register_views(self) -> "LuxorEngine":
+        """Register every fixture table as a temp view (idempotent)."""
+        for n in TABLES:
+            self.table(n).createOrReplaceTempView(n)
+        self._views_registered = True
+        return self
+
+    # --- query entry points ------------------------------------------------
+
+    def sql(self, statement: str) -> DataFrame:
+        """ANSI SQL over the registered views (Spark SQL dialect)."""
+        if not self._views_registered:
+            self.register_views()
+        return self.spark.sql(statement)
+
+    def run(self, key: str) -> DataFrame:
+        """Run one registered operator key (SURVEY.md §2) on this catalog."""
+        queries = load_all_queries()
+        if key not in queries:
+            raise KeyError(
+                f"unknown operator key {key!r}; known: {sorted(queries)[:8]}..."
+            )
+        return queries[key](self.spark, self.sf_dir)
+
+    def keys(self) -> list[str]:
+        return sorted(load_all_queries())
+
+    def oracle(self, key: str) -> str | None:
+        """The DuckDB oracle SQL for ``key`` (None for rows-only keys)."""
+        load_all_queries()
+        return ORACLES.get(key)
+
+    # --- streaming ---------------------------------------------------------
+
+    def stream_events(self) -> DataFrame:
+        """The events table as a Structured Streaming source."""
+        from luxor_db_spark.streaming.streams import stream_events
+
+        return stream_events(self.spark, self.sf_dir)

@@ -307,6 +307,45 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_SALTS = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT l_orderkey, l_quantity, o_orderpriority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi-join via key salting — same result as the plain
+    join (the oracle), different shuffle shape.
+
+    A hot l_orderkey lands every row in one reducer under a plain shuffle
+    join; salting splits each probe key across ``_N_SALTS`` sub-partitions
+    (salt derived per-row) and replicates each build row to all salts, so the
+    hottest key's work fans out N ways. The build side grows ×N — cheap when
+    it's the smaller table. AQE's OptimizeSkewedJoin automates this at
+    runtime; the explicit form is for engines/pipelines that pre-partition
+    or when skew is known ahead of time (e.g. a boilerplate dedup key
+    covering 30% of a crawl corpus).
+    """
+    t = tables(spark, sf_dir, "lineitem", "orders")
+    probe = t.lineitem.select("l_orderkey", "l_quantity", "l_linenumber").withColumn(
+        "salt", F.pmod(F.xxhash64("l_linenumber"), F.lit(_N_SALTS)).cast("int")
+    )
+    build = t.orders.select("o_orderkey", "o_orderpriority").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_N_SALTS - 1)))
+    )
+    return (
+        probe.join(
+            build,
+            (probe.l_orderkey == build.o_orderkey) & (probe.salt == build.salt),
+        )
+        .select("l_orderkey", "l_quantity", "o_orderpriority")
+    )
+
+
 @query(
     "join_multiway",
     oracle=f"""

@@ -1,0 +1,39 @@
+"""LuxorEngine facade: the user-switching surface."""
+
+from __future__ import annotations
+
+import pytest
+
+from luxor_db_spark.engine import LuxorEngine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_dir):
+    return LuxorEngine(spark, sf_dir)
+
+
+def test_sql_over_views(eng):
+    n = eng.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0].n
+    assert n > 0
+
+
+def test_table_and_run(eng):
+    assert eng.table("orders").count() > 0
+    df = eng.run("agg_hash")
+    assert df.count() > 0
+
+
+def test_keys_and_oracles(eng):
+    keys = eng.keys()
+    assert "flagship_q1" in keys and len(keys) >= 110
+    assert eng.oracle("agg_hash") is not None
+    assert eng.oracle("sink_parquet") is None
+
+
+def test_unknown_key_raises(eng):
+    with pytest.raises(KeyError):
+        eng.run("not_a_key")
+
+
+def test_stream_events_is_streaming(eng):
+    assert eng.stream_events().isStreaming
