@@ -302,3 +302,29 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("big_cnt"),
         davg(f_case).alias("avg_f_qty"),
     )
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_linestatus,
+           {dsum_sql("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS A,
+           {dsum_sql("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS N,
+           {dsum_sql("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: rows→columns over an enumerated pivot domain.
+
+    The explicit value list (['A','N','R']) matters at scale: without it
+    Spark runs an extra distinct-values job over the full table before it
+    can even plan. Pivoted aggregation is still a single partial+final hash
+    agg — one shuffle, one row per (group × pivot) cell.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum(F.col("l_quantity")))
+    )

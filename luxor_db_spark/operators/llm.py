@@ -781,3 +781,90 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("q_id", F.col("vec_id").alias("nb_id"), "sim")
     )
+
+
+# --- corpus management: sharding / mixing / sampling ------------------------
+
+# First-hex-digit value of an md5: portable hash bucket 0..15 in both
+# engines (hex chars '0'-'9' → 0-9, 'a'-'f' → 10-15 via ascii arithmetic).
+_HEXD_SQL = (
+    "CASE WHEN ascii(substr(md5({x}), {i}, 1)) <= 57 "
+    "THEN ascii(substr(md5({x}), {i}, 1)) - 48 "
+    "ELSE ascii(substr(md5({x}), {i}, 1)) - 87 END"
+)
+
+
+def _hexdigit(col: Column, i: int) -> Column:
+    c = F.ascii(F.substring(F.md5(col), i, 1))
+    return F.when(c <= 57, c - 48).otherwise(c - 87)
+
+
+@query(
+    "llm_shard_assign",
+    oracle=f"""
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS shard_chars
+    FROM (SELECT n_chars,
+                 {_HEXD_SQL.format(x="CAST(doc_id AS VARCHAR)", i=1)} AS shard
+          FROM documents)
+    GROUP BY shard
+    """,
+)
+def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sharding for training-data output: shard =
+    first md5 hex digit of the doc key (0..15), portable across engines and
+    stable across re-runs — the property that makes incremental re-sharding
+    and cross-system verification possible. At scale this feeds
+    ``write.partitionBy('shard')`` so each trainer reads one directory.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shard = _hexdigit(F.col("doc_id").cast("string"), 1)
+    return (
+        d.select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("shard_chars"),
+        )
+    )
+
+
+@query(
+    "llm_sample_mix",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_kept FROM (
+      SELECT lang,
+             {_HEXD_SQL.format(x="CAST(doc_id AS VARCHAR)", i=1)} * 16
+             + {_HEXD_SQL.format(x="CAST(doc_id AS VARCHAR)", i=2)} AS v
+      FROM documents)
+    WHERE CAST(v AS DOUBLE) / 256 < CASE WHEN lang = 'en' THEN 0.75 ELSE 0.25 END
+    GROUP BY lang
+    """,
+)
+def llm_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling (75% of 'en', 25% of the rest) by hash
+    threshold: keep iff hash-fraction(doc_id) < weight(lang).
+
+    Hash-threshold sampling is the scale-correct design: per-row decision
+    with no shuffle and no RNG state, deterministic under retries/replays
+    (a Bernoulli RNG sample changes membership on every task re-attempt —
+    poison for reproducible training corpora).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    v = _hexdigit(key, 1) * 16 + _hexdigit(key, 2)
+    w = F.when(F.col("lang") == "en", 0.75).otherwise(0.25)
+    return (
+        d.filter(v.cast("double") / 256 < w)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+@query("llm_sample_seeded")  # rows-only: Spark-internal sampler
+def llm_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (reproducible within Spark for a fixed seed
+    and partitioning; engine-internal RNG → rows-only). The hash-threshold
+    variant above is preferred for cross-engine reproducibility."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.sample(fraction=0.2, seed=42).select("doc_id", "lang", "source")
