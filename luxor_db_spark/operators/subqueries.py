@@ -1,0 +1,80 @@
+"""Subqueries & CTEs: the SQL-string entry point (SURVEY.md §3b entry 1).
+
+Reference status: absent (reference ``Main.java:1-7`` only).
+
+These keys deliberately go through ``spark.sql`` over registered views —
+same Catalyst IR as the DataFrame keys — to exercise the rewrites that only
+fire on subquery shapes: ``RewriteCorrelatedScalarSubquery`` turns the
+correlated scalar into an aggregate + join (no per-row re-execution);
+correlated EXISTS becomes a left-semi join; the recursive CTE (Spark 4)
+executes as an iterative union with a fixed-point loop driver-side, each
+iteration a distributed step.
+
+The SQL text is dialect-shared: every statement here runs verbatim on both
+Spark and DuckDB, so the oracle IS the query — zero translation risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from luxor_db_spark.catalog import register_views
+from luxor_db_spark.registry import query
+
+# Exact-average comparison: decimal-accumulated sum / count (see
+# functions/exact.py) so the subquery boundary doesn't flip membership on a
+# last-ulp AVG difference between engines.
+_SUB_SCALAR_SQL = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice >
+      1.5 * (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*)
+             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+_SUB_EXISTS_SQL = """
+SELECT o.o_orderkey, o.o_orderpriority
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49.5)
+"""
+
+_CTE_RECURSIVE_SQL = """
+WITH RECURSIVE fib(n, a, b) AS (
+  SELECT 1, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT n + 1, b, a + b FROM fib WHERE n < 40
+)
+SELECT n, a AS fib_n FROM fib
+"""
+
+
+@query("sub_scalar", oracle=_SUB_SCALAR_SQL)
+def sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders 1.5× above their customer's
+    average. Catalyst decorrelates to one aggregate + one equi-join —
+    verify: the plan contains a single HashAggregate over orders, never a
+    per-row subquery loop."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_SUB_SCALAR_SQL)
+
+
+@query("sub_exists", oracle=_SUB_EXISTS_SQL)
+def sub_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS → left-semi join after decorrelation (the SQL twin
+    of `join_semi`, arriving via the subquery rewrite path instead)."""
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_SUB_EXISTS_SQL)
+
+
+@query("cte_recursive", oracle=_CTE_RECURSIVE_SQL)
+def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 / DuckDB shared syntax): 40 Fibonacci steps.
+
+    Each iteration is a distributed union step with a driver-side
+    fixed-point check — bounded depth, bounded state, no driver data
+    materialization beyond the stop condition.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_CTE_RECURSIVE_SQL)

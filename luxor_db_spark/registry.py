@@ -50,6 +50,7 @@ def load_all_queries() -> dict[str, Callable]:
             windows,  # §2.5
             sorts,  # §2.6
             setops,  # §2.7
+            subqueries,  # §3b entry 1: SQL-path subqueries/CTEs
             udfs,  # §2.10
             llm,  # §2.11
         )
