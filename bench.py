@@ -43,6 +43,9 @@ HEADLINE = [
     "llm_tfidf_topterms",
     "llm_cosine_topk",
     "llm_knn_join",
+    "llm_langid",
+    "join_skew_salted",
+    "sub_scalar",
     "stream_tumbling",
 ]
 

@@ -101,3 +101,74 @@ def mm_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_bytes"),
         F.max("n_chars").cast("bigint").alias("max_bytes"),
     )
+
+
+_RESIZE_SCHEMA = (
+    "doc_id long, orig_w int, orig_h int, new_w int, new_h int, "
+    "scale double, out_bytes int"
+)
+
+_TARGET_EDGE = 224  # standard vision-model input edge
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched resize planning: compute target geometry per asset.
+
+    The pixel work is stubbed (no codec libs here) — what's real is the
+    contract a distributed resize must keep: pure per-row computation (no
+    shuffle), bounded memory per batch, output size proportional to input
+    count, payload bytes touched exactly once.
+    """
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+            _, w, h = _stub_decode_image(payload)
+            scale = _TARGET_EDGE / min(w, h)
+            nw, nh = round(w * scale), round(h * scale)
+            # STUB: a real impl emits re-encoded bytes; we emit the size a
+            # deterministic 3-byte/px encode would produce.
+            rows.append((doc_id, w, h, nw, nh, round(scale, 6), nw * nh * 3))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "orig_w", "orig_h", "new_w", "new_h", "scale",
+                "out_bytes",
+            ],
+        )
+
+
+@query("mm_resize")  # rows-only: geometry from the stubbed decoder
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-edge-224 resize planning over binary assets via mapInPandas
+    (the preprocessing step in front of any vision encoder)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    return d.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, unnest(generate_series(0, CAST(n_chars AS INT) - 1, 1000))
+           AS frame_idx
+    FROM documents WHERE n_chars >= 1
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: emit every 1000th frame index per asset
+    (n_chars stands in for the frame count read from container metadata).
+
+    Pure JVM sequence+explode — sampling plans are computed without ever
+    decoding video; only the sampled frames' byte ranges get fetched by the
+    downstream decode stage. One row in → frames/1000 rows out, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("n_chars").cast("int") - 1, F.lit(1000)
+            )
+        ).alias("frame_idx"),
+    )
