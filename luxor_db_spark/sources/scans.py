@@ -143,3 +143,38 @@ def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey").alias("row_id"), F.col("p_type").alias("tag")
         )
     )
+
+
+@query("sink_bucketed")  # rows-only: bucketed-table round-trip
+def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed sink + co-located join: both sides pre-hashed into 8 buckets
+    on the join key, so the re-read join plans with ZERO Exchange — the
+    shuffle happened once at write time and is amortized over every later
+    join. At 100 TB this is the difference between re-shuffling the fact
+    table per query and never shuffling it again (verified by
+    tests/test_plans.py: no Exchange in this plan).
+
+    Uses external-table paths (`option("path", ...)`) so the static
+    warehouse dir of a driver-built session is irrelevant.
+    """
+    base = _tmpdir("sink_bucketed")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    for name, df, key in (
+        ("luxor_b_lineitem", li, "l_orderkey"),
+        ("luxor_b_orders", o, "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(base, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    a = spark.table("luxor_b_lineitem")
+    b = spark.table("luxor_b_orders")
+    return a.join(b.hint("merge"), a.l_orderkey == b.o_orderkey).select(
+        "l_orderkey", "l_quantity", "o_orderpriority"
+    )

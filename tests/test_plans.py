@@ -104,3 +104,11 @@ def test_asof_rewrite_is_equi_join(audit):
         a.n_sortmerge_joins + a.n_shuffled_hash_joins + a.n_broadcast_joins >= 1
     ), a.text
     a.assert_no_cartesian()
+
+
+def test_bucketed_join_has_no_exchange(audit):
+    """Bucketed sink round-trip: the co-located join must plan with zero
+    shuffles — bucketing's whole point at fact-table scale."""
+    a = audit("sink_bucketed")
+    assert a.n_exchanges == 0, f"bucketed join still shuffles:\n{a.text[:800]}"
+    assert a.n_sortmerge_joins >= 1
