@@ -121,3 +121,49 @@ def test_distinct_idempotent_and_bounded(spark, rows):
     d1 = df.distinct()
     assert d1.count() == d1.distinct().count()
     assert d1.count() <= df.count()
+
+
+ASOF_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.integers(min_value=0, max_value=50),  # event ts
+    ),
+    min_size=0,
+    max_size=12,
+)
+ASOF_ORDERS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.integers(min_value=0, max_value=50),  # order ts
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(events=ASOF_EVENTS, orders=ASOF_ORDERS)
+@settings(**SETTINGS)
+def test_asof_rewrite_matches_brute_force(spark, events, orders):
+    """The as-of rewrite (equi-join + range + arg-max) must equal the
+    definitional semantics: latest order at/before each event, per user."""
+    ev = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(events)] or [(None,) * 3],
+        "eid int, u int, t int",
+    ).filter(F.col("eid").isNotNull() if not events else F.lit(True))
+    od = spark.createDataFrame(
+        orders or [(None, None)], "u int, ot int"
+    ).filter(F.col("u").isNotNull() if not orders else F.lit(True))
+
+    j = (
+        ev.join(od, (ev.u == od.u) & (od.ot <= ev.t), "inner")
+        .groupBy("eid")
+        .agg(F.max("ot").alias("last_ot"))
+    )
+    got = {r.eid: r.last_ot for r in j.collect()}
+
+    want = {}
+    for i, (u, t) in enumerate(events):
+        cands = [ot for (ou, ot) in orders if ou == u and ot <= t]
+        if cands:
+            want[i] = max(cands)
+    assert got == want
