@@ -53,6 +53,7 @@ def load_all_queries() -> dict[str, Callable]:
             subqueries,  # §3b entry 1: SQL-path subqueries/CTEs
             udfs,  # §2.10
             llm,  # §2.11
+            workloads,  # composite TPC-H-shaped reports
         )
         from luxor_db_spark.functions import scalar  # noqa: F401  (§2.8)
         from luxor_db_spark.streaming import streams  # noqa: F401  (§2.9)
