@@ -873,3 +873,40 @@ def llm_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant above is preferred for cross-engine reproducibility."""
     d = load_table(spark, sf_dir, "documents")
     return d.sample(fraction=0.2, seed=42).select("doc_id", "lang", "source")
+
+
+@query(
+    "llm_embed_quantize",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) / 127 AS DOUBLE) AS scale,
+           list_transform(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE)
+                     / NULLIF(list_max(list_transform(embedding,
+                               y -> abs(CAST(y AS DOUBLE)))) / 127, 0)
+                     + 0.5) AS INT)) AS qvec
+    FROM embeddings
+    """,
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per embedding: scale = max|x|/127,
+    qvec = floor(x/scale + 0.5) — 4× storage reduction for ANN serving.
+
+    floor(+0.5) instead of round(): identical IEEE-754 expression in both
+    engines (ROUND's half-tie behavior is dialect-specific; floor is not).
+    Pure per-row JVM array math — no shuffle, embarrassingly parallel at
+    any corpus size.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    scale = (absmax / 127).cast("double")
+    qvec = F.transform(
+        "embedding",
+        lambda x: F.floor(
+            x.cast("double") / F.nullif(scale, F.lit(0.0)) + 0.5
+        ).cast("int"),
+    )
+    return e.select("vec_id", scale.alias("scale"), qvec.alias("qvec"))
