@@ -46,6 +46,8 @@ HEADLINE = [
     "llm_langid",
     "join_skew_salted",
     "sub_scalar",
+    "query_q3",
+    "query_q18",
     "stream_tumbling",
 ]
 
