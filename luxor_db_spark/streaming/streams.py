@@ -318,3 +318,42 @@ def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     update = _drain(agg_src, "som_update", "update")
     n_update_rows = update.count()
     return complete.withColumn("update_emissions", F.lit(n_update_rows))
+
+
+@query(
+    "stream_foreach_batch",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events
+    WHERE event_type IN ('purchase', 'signup') GROUP BY event_type
+    """,
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands as committed Parquet via
+    the batch writer — the production pattern for sinks Structured
+    Streaming lacks natively (JDBC, multi-table fan-out, MERGE targets).
+
+    Batch ids make the write idempotent under retries (a re-delivered
+    micro-batch overwrites its own directory, never duplicates). The
+    replay here is one micro-batch; the final Parquet equals the batch
+    filter+project — which is the oracle.
+    """
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="luxor_feb_")
+    ev = stream_events(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    q = ev.writeStream.foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(f"{out}/batch=*")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
