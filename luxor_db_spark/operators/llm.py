@@ -910,3 +910,128 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int"),
     )
     return e.select("vec_id", scale.alias("scale"), qvec.alias("qvec"))
+
+
+# --- engine-portable MinHash LSH -------------------------------------------
+
+# Fixed universal-hash family h_i(t) = (a_i * t + b_i) mod 65537 over 16-bit
+# token ids. Constants are literals so the Spark and DuckDB pipelines are
+# the same function; 16 signatures → 8 bands × 2 rows targets Jaccard ≈ 0.5
+# ((1/8)^(1/2) ≈ 0.35 threshold, steep curve at 0.5+).
+_MH = [
+    (12289, 40961), (24593, 49157), (786433, 196613), (3079, 6151),
+    (1543, 389), (98317, 769), (393241, 1572869), (53, 97),
+    (193, 1259), (6291469, 12582917), (25165843, 139), (389, 521),
+    (1031, 2053), (4099, 8209), (16411, 32771), (65537, 131101),
+]
+_MH_P = 65537
+
+
+def _tok16_sql(md5_expr: str) -> str:
+    """16-bit token id from the first 4 md5 hex digits (portable SQL)."""
+    digit = (
+        "CASE WHEN ascii(substr({m}, {i}, 1)) <= 57 "
+        "THEN ascii(substr({m}, {i}, 1)) - 48 "
+        "ELSE ascii(substr({m}, {i}, 1)) - 87 END"
+    )
+    parts = [
+        f"({digit.format(m=md5_expr, i=i)}) * {16 ** (4 - i)}"
+        for i in range(1, 5)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _tok16_col(md5_col: Column) -> Column:
+    out = None
+    for i in range(1, 5):
+        c = F.ascii(F.substring(md5_col, i, 1))
+        d = F.when(c <= 57, c - 48).otherwise(c - 87)
+        term = d * (16 ** (4 - i))
+        out = term if out is None else out + term
+    return out
+
+
+def _minhash_lsh_oracle() -> str:
+    sigs = ", ".join(
+        f"MIN((CAST({a} AS BIGINT) * t + {b}) % {_MH_P}) AS s{i}"
+        for i, (a, b) in enumerate(_MH)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, s{2 * j} * {_MH_P} + s{2 * j + 1} AS bk"
+        " FROM sig"
+        for j in range(8)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS s
+      FROM documents
+    ),
+    ti AS (SELECT doc_id, CAST({_tok16_sql('md5(s)')} AS BIGINT) AS t FROM sh),
+    sig AS (SELECT doc_id, {sigs} FROM ti GROUP BY doc_id),
+    bands AS ({bands})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """
+
+
+@query("llm_minhash_lsh", oracle=_minhash_lsh_oracle())
+def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH with explicit portable hashing — the sub-quadratic
+    dedup path, exact-cross-checked (unlike `llm_dedup_minhash`, whose
+    pyspark.ml sketch is engine-internal).
+
+    Pipeline: distinct shingles → 16-bit md5-derived token ids → 16 modular
+    min-hashes (one grouped aggregation) → 8 bands × 2 rows → self-join on
+    band key. Candidates share ≥1 band; at 100 TB the band join touches
+    only (doc_id, band_key) pairs — 16 bytes/doc/band — never text, and
+    banding keeps candidate counts near-linear for realistic similarity
+    distributions.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", F.expr(_TOKENS)
+    )
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES))).alias("s")
+    )
+    ti = sh.select(
+        "doc_id", _tok16_col(F.md5("s")).cast("bigint").alias("t")
+    )
+    sig = ti.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a).cast("bigint") * F.col("t") + b) % _MH_P).alias(
+                f"s{i}"
+            )
+            for i, (a, b) in enumerate(_MH)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        (F.col(f"s{2 * j}") * _MH_P + F.col(f"s{2 * j + 1}")).alias(
+                            "bk"
+                        ),
+                    )
+                    for j in range(8)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bk")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
