@@ -1035,3 +1035,92 @@ def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
+
+
+# --- dedup clustering (iterative) ------------------------------------------
+
+_NEAR_PAIRS_DUCK = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS s
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b
+    FROM cand JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5
+"""
+
+
+@query(
+    "llm_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NEAR_PAIRS_DUCK}),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           CAST(COALESCE(LEAST(c.min_reach, d.doc_id), d.doc_id) AS BIGINT)
+               AS component
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """,
+)
+def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph (min-label propagation):
+    every document gets the smallest doc_id reachable through Jaccard≥0.5
+    edges — the clustering step between pair detection and keep-one-per-
+    cluster dedup.
+
+    Iterative: each round joins labels to the adjacency list and takes the
+    per-node min; converges in O(graph diameter) rounds. The only
+    driver-side value per round is the changed-row count (a scalar, the
+    standard fixpoint check for distributed iterative algorithms);
+    localCheckpoint truncates lineage so round N's plan doesn't replay
+    rounds 1..N-1. Oracle: DuckDB recursive-CTE transitive closure of the
+    same edge set.
+    """
+    pairs = llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    und = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "node", "doc_b": "nbr"})
+
+    d = load_table(spark, sf_dir, "documents")
+    labels = d.select("doc_id", F.col("doc_id").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    und = und.localCheckpoint(eager=True)
+
+    for _ in range(20):  # >= diameter of any near-dup cluster here
+        nbr_min = (
+            und.join(labels, und.nbr == labels.doc_id)
+            .groupBy(F.col("node").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("component").cast("bigint").alias("component"))
