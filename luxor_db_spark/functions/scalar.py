@@ -359,3 +359,71 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("c_name").alias("h_md5"),
         F.sha2("c_name", 256).alias("h_sha256"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_size & 15 AS b_and,
+           p_size | 64 AS b_or,
+           xor(p_size, 255) AS b_xor,
+           p_size << 2 AS b_shl,
+           p_size >> 1 AS b_shr
+    FROM part
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (dialect note: DuckDB spells XOR as xor(), shifts as
+    << / >>; Spark as ^ and shiftleft/shiftright — same two's-complement
+    semantics on INT)."""
+    p = load_table(spark, sf_dir, "part")
+    s = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        s.bitwiseAND(15).alias("b_and"),
+        s.bitwiseOR(64).alias("b_or"),
+        s.bitwiseXOR(255).alias("b_xor"),
+        F.shiftleft(s, 2).alias("b_shl"),
+        F.shiftright(s, 1).alias("b_shr"),
+    )
+
+
+@query(
+    "fn_explode_outer",
+    oracle="""
+    SELECT doc_id,
+           unnest(CASE WHEN len(string_split(text, 'zz')) = 0
+                       THEN [NULL] ELSE string_split(text, 'zz') END) AS piece
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty arrays survive as a single NULL row
+    (plain explode drops them — the LEFT JOIN vs INNER JOIN of unnesting).
+    DuckDB emulation: substitute [NULL] for the empty list."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.explode_outer(F.split("text", "zz")).alias("piece")
+    )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           struct_pack(k := o_orderkey, p := o_totalprice).k AS sk,
+           struct_pack(k := o_orderkey, p := o_totalprice).p AS sp
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct build + field access, flattened back to scalars (struct
+    round-trip; scalar output keeps cross-engine hashing trivial)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    s = F.struct(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    return o.select(
+        "o_orderkey", s.getField("k").alias("sk"), s.getField("p").alias("sp")
+    )

@@ -271,3 +271,69 @@ def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query(
+    "ts_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events WHERE event_type = 'purchase'
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS TIMESTAMP)
+             AS hour_start
+      FROM bounds
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT hour_start, COALESCE(n, 0) AS n,
+           last_value(sv IGNORE NULLS) OVER (
+             ORDER BY hour_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum
+    FROM spine LEFT JOIN hourly ON hour_start = h
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + LOCF (the hypertable-rollup pattern): build a
+    dense hourly spine from the observed range, left-join the sparse hourly
+    rollup, zero-fill counts, carry the last observed sum forward across
+    empty hours.
+
+    The spine derives from a 1-row min/max aggregate crossed with
+    `sequence` — no driver-side collect. The global LOCF window is safe
+    because the spine is granularity-bounded (hours in range), not
+    data-sized; a multi-series version partitions the window by series key.
+    """
+    from luxor_db_spark.functions.exact import dsum
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sv"))
+    )
+    w = Window.orderBy("hour_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(hourly, spine.hour_start == hourly.h, "left")
+        .select(
+            "hour_start",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("sv", ignorenulls=True).over(w).alias("locf_sum"),
+        )
+    )
