@@ -178,3 +178,85 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b.hint("merge"), a.l_orderkey == b.o_orderkey).select(
         "l_orderkey", "l_quantity", "o_orderpriority"
     )
+
+
+def _register_calendar_source(spark: SparkSession) -> bool:
+    """Register the Python DataSource (Spark 4 API); False if unsupported."""
+    try:
+        from pyspark.sql.datasource import (
+            DataSource,
+            DataSourceReader,
+            InputPartition,
+        )
+    except ImportError:
+        return False
+
+    class _CalendarReader(DataSourceReader):
+        """Generates a date spine in N parallel partitions — each executor
+        materializes only its own slice (the pattern any generator/API
+        source must follow to scale: partition the keyspace, not the
+        driver)."""
+
+        def __init__(self, options):
+            import datetime
+
+            self.start = datetime.date.fromisoformat(
+                options.get("start", "1995-01-01")
+            )
+            self.days = int(options.get("days", "365"))
+            self.n_parts = int(options.get("partitions", "4"))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.n_parts)]
+
+        def read(self, partition):
+            import datetime
+
+            per = -(-self.days // self.n_parts)  # ceil
+            lo = partition.value * per
+            hi = min(self.days, lo + per)
+            for off in range(lo, hi):
+                d = self.start + datetime.timedelta(days=off)
+                yield (d, d.year, d.month, d.isoweekday())
+
+    class _CalendarSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "luxor_calendar"
+
+        def schema(self):
+            return "d date, y int, m int, isodow int"
+
+        def reader(self, schema):
+            return _CalendarReader(self.options)
+
+    spark.dataSource.register(_CalendarSource)
+    return True
+
+
+@query(
+    "source_python_ds",
+    oracle="""
+    SELECT CAST(d AS DATE) AS d,
+           CAST(EXTRACT(year FROM d) AS INT) AS y,
+           CAST(EXTRACT(month FROM d) AS INT) AS m,
+           CAST(isodow(d) AS INT) AS isodow
+    FROM (SELECT unnest(generate_series(DATE '1995-01-01',
+                                        DATE '1995-12-31',
+                                        INTERVAL 1 DAY)) AS d)
+    """,
+)
+def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom batch source via the Spark 4 Python DataSource API: a
+    partition-parallel calendar/date-spine generator (the dimension every
+    warehouse needs and no fixture ships). Each of the 4 input partitions
+    yields only its own slice — generator sources scale by partitioning
+    the keyspace, never by materializing on the driver."""
+    if not _register_calendar_source(spark):
+        raise RuntimeError("Python DataSource API unavailable")
+    return (
+        spark.read.format("luxor_calendar")
+        .option("start", "1995-01-01")
+        .option("days", "365")
+        .load()
+    )
