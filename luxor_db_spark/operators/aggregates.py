@@ -328,3 +328,17 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_returnflag", ["A", "N", "R"])
         .agg(dsum(F.col("l_quantity")))
     )
+
+
+@query("agg_approx_percentile")  # rows-only: sketch-based, engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Greenwald-Khanna sketch (mergeable →
+    partial+final like any agg; the constant-memory path when exact
+    `agg_percentile`'s full sort-by-group is too expensive at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "approx_p"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

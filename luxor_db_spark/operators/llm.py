@@ -1124,3 +1124,87 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("component").cast("bigint").alias("component"))
+
+
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+_PII_PHONE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+_PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+@query(
+    "llm_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_PII_SSN}', '[SSN]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+             '{_PII_EMAIL}', '[EMAIL]', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phones
+    FROM documents
+    """,
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails/phones/SSN-shaped spans → typed
+    placeholder tokens, plus per-doc match counts for audit sampling.
+
+    POSIX-safe patterns only (SURVEY §4c.6: no lookarounds — the subset
+    Java regex and RE2 agree on). Order matters: SSN before phone (an SSN
+    is also a phone-shaped string), most-specific first. Pure JVM regex in
+    the scan pipeline — this is the op that must run over every byte of a
+    100 TB corpus, so it cannot afford a Python boundary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_SSN, "[SSN]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_EMAIL,
+        "[EMAIL]",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_PII_EMAIL}', 0)"))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_PII_PHONE}', 0)"))
+        .cast("int")
+        .alias("n_phones"),
+    )
+
+
+@query(
+    "llm_dedup_keep_best",
+    oracle=f"""
+    SELECT doc_id, fp FROM (
+      SELECT doc_id, md5({_NORM_DUCK}) AS fp,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5({_NORM_DUCK})
+               ORDER BY n_chars DESC, len(list_distinct({_TOKENS_DUCK})) DESC,
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked dedup survivor selection: per duplicate group keep the
+    longest / most-lexically-diverse copy (doc_id as the deterministic
+    tiebreak) instead of `llm_dedup_exact`'s lowest-id rule — what real
+    corpus pipelines do when duplicates differ in truncation or boilerplate.
+    Same shuffle shape as exact dedup: fingerprints + rank keys only."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.expr(_NORM))
+    w = Window.partitionBy(fp).orderBy(
+        F.col("n_chars").desc(),
+        F.size(F.array_distinct(F.expr(_TOKENS))).desc(),
+        F.col("doc_id"),
+    )
+    return (
+        d.select("doc_id", fp.alias("fp"), F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
