@@ -30,6 +30,7 @@ class PlanAudit:
 
     text: str
     pushed_filters: list[str] = field(default_factory=list)
+    partition_filters: list[str] = field(default_factory=list)
     read_schemas: list[list[str]] = field(default_factory=list)
     n_broadcast_joins: int = 0
     n_sortmerge_joins: int = 0
@@ -45,6 +46,10 @@ class PlanAudit:
         for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
             if m.group(1).strip():
                 pushed.extend(p.strip() for p in m.group(1).split(","))
+        part_filters: list[str] = []
+        for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", text):
+            if m.group(1).strip():
+                part_filters.extend(p.strip() for p in m.group(1).split(","))
         schemas = [
             re.findall(r"(\w+):", m.group(1))
             for m in re.finditer(r"ReadSchema: struct<([^\n]*)>", text)
@@ -52,6 +57,7 @@ class PlanAudit:
         return cls(
             text=text,
             pushed_filters=pushed,
+            partition_filters=part_filters,
             read_schemas=schemas,
             n_broadcast_joins=text.count("BroadcastHashJoin"),
             n_sortmerge_joins=text.count("SortMergeJoin"),

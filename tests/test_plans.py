@@ -112,3 +112,13 @@ def test_bucketed_join_has_no_exchange(audit):
     a = audit("sink_bucketed")
     assert a.n_exchanges == 0, f"bucketed join still shuffles:\n{a.text[:800]}"
     assert a.n_sortmerge_joins >= 1
+
+
+def test_partitioned_sink_reread_prunes_partitions(audit):
+    """The partitioned re-read's filter must land in PartitionFilters
+    (directory pruning — only the matching partition dir is listed/read),
+    not in data PushedFilters."""
+    a = audit("sink_partitioned")
+    assert any(
+        "l_returnflag" in p for p in a.partition_filters
+    ), f"no partition filter on l_returnflag: {a.partition_filters}"
