@@ -427,3 +427,25 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", s.getField("k").alias("sk"), s.getField("p").alias("sp")
     )
+
+
+@query(
+    "fn_try_cast",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(lang AS INT) AS bad_int,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS INT) AS good_int,
+           TRY_CAST(source AS DOUBLE) AS bad_dbl
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST: malformed casts yield NULL instead of failing the job —
+    at corpus scale one dirty row must never kill a 4000-task stage."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.col("lang").try_cast("int").alias("bad_int"),
+        F.col("n_chars").cast("string").try_cast("int").alias("good_int"),
+        F.col("source").try_cast("double").alias("bad_dbl"),
+    )

@@ -1208,3 +1208,36 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "llm_dataset_split",
+    oracle=f"""
+    SELECT split, COUNT(*) AS n_docs FROM (
+      SELECT CASE
+               WHEN v < 204 THEN 'train'
+               WHEN v < 230 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM (SELECT {_HEXD_SQL.format(x="CAST(doc_id AS VARCHAR)", i=1)} * 16
+                   + {_HEXD_SQL.format(x="CAST(doc_id AS VARCHAR)", i=2)} AS v
+            FROM documents))
+    GROUP BY split
+    """,
+)
+def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split by md5 hash bucket
+    (v<204/256 → train, <230 → val, else test). Hash-based assignment is
+    the only split that stays stable as the corpus grows: adding documents
+    never moves an existing document between splits (a random or
+    modulo-on-row-number split reshuffles everything — leakage between
+    training runs)."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    v = _hexdigit(key, 1) * 16 + _hexdigit(key, 2)
+    split = (
+        F.when(v < 204, "train").when(v < 230, "val").otherwise("test")
+    )
+    return d.select(split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
