@@ -387,3 +387,40 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "join_dpp",
+    oracle="""
+    SELECT l_returnflag AS flag, COUNT(*) AS n
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag
+    """,
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is stored partitioned on
+    the join column; joining a *filtered* broadcast dimension injects a
+    runtime IN-subquery into the fact scan's PartitionFilters
+    (`dynamicpruningexpression` — asserted by tests/test_plans.py), so only
+    the surviving partition directories are read. At 100 TB this turns a
+    full-fact scan into reading exactly the partitions the dimension
+    filter selects — pruning decided at run time, not plan time.
+    """
+    import os
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "luxor_db_spark_sinks")
+    os.makedirs(base, exist_ok=True)
+    out = os.path.join(base, f"dpp_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_returnflag"
+        ).write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("R", "returned"), ("A", "ack"), ("N", "none")], ["flag", "label"]
+    ).filter(F.col("label") == "returned")
+    return (
+        fact.join(broadcast(dim), fact.l_returnflag == dim.flag)
+        .groupBy("flag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -122,3 +122,10 @@ def test_partitioned_sink_reread_prunes_partitions(audit):
     assert any(
         "l_returnflag" in p for p in a.partition_filters
     ), f"no partition filter on l_returnflag: {a.partition_filters}"
+
+
+def test_dpp_join_prunes_at_runtime(audit):
+    """The broadcast-dim join over a partitioned fact must inject a
+    dynamicpruningexpression into the fact scan's PartitionFilters."""
+    a = audit("join_dpp")
+    assert "dynamicpruning" in a.text.lower(), a.text[:600]
