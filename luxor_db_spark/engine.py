@@ -74,6 +74,19 @@ class LuxorEngine:
         load_all_queries()
         return ORACLES.get(key)
 
+    # --- introspection -----------------------------------------------------
+
+    def schema(self, name: str):
+        """StructType of a catalog table (footer-only read, no data scan)."""
+        return self.table(name).schema
+
+    def explain(self, key: str):
+        """PlanAudit of one operator key's physical plan — pushed filters,
+        read schemas, join strategies, exchange counts (plans/inspect.py)."""
+        from luxor_db_spark.plans.inspect import PlanAudit
+
+        return PlanAudit.of(self.run(key))
+
     # --- streaming ---------------------------------------------------------
 
     def stream_events(self) -> DataFrame:

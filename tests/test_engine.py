@@ -37,3 +37,10 @@ def test_unknown_key_raises(eng):
 
 def test_stream_events_is_streaming(eng):
     assert eng.stream_events().isStreaming
+
+
+def test_schema_and_explain(eng):
+    s = eng.schema("lineitem")
+    assert "l_orderkey" in s.fieldNames()
+    audit = eng.explain("scan_filtered")
+    assert audit.pushed_filters, "explain() should surface pushed filters"
