@@ -357,3 +357,58 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query("stream_checkpoint_resume")  # rows-only: operational semantics demo
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed exactly-once resume: run a stream to completion over one
+    source file, stop it, drop a second file into the source dir, restart
+    from the same checkpoint — the restarted query processes ONLY the new
+    file (offsets come from the checkpoint log, not from rescanning), and
+    the sink totals prove no row was duplicated or lost.
+
+    This is the fault-tolerance contract a 100 TB ingest pipeline leans on:
+    a crashed driver resumes from the write-ahead offset log with no
+    reprocessing. Returns one summary row (n_first, n_second, n_total).
+    """
+    import shutil
+    import tempfile
+
+    from luxor_db_spark.session import configure
+
+    configure(spark)
+    src = tempfile.mkdtemp(prefix="luxor_ckpt_src_")
+    ckpt = tempfile.mkdtemp(prefix="luxor_ckpt_log_")
+    out = tempfile.mkdtemp(prefix="luxor_ckpt_out_")
+    from luxor_db_spark.catalog import table_path
+
+    shutil.copyfile(table_path(sf_dir, "events"), f"{src}/f1.parquet")
+
+    def run_once() -> None:
+        raw = (
+            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("event_id", "user_id", "value")
+        )
+        q = (
+            raw.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    shutil.copyfile(table_path(sf_dir, "events"), f"{src}/f2.parquet")
+    run_once()  # same checkpoint: resumes, processes only f2
+    n_total = spark.read.parquet(out).count()
+    return spark.createDataFrame(
+        [(n_first, n_total - n_first, n_total)],
+        "n_first long, n_second long, n_total long",
+    )
