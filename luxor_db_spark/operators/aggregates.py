@@ -342,3 +342,51 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle=f"""
+    SELECT l_linestatus, l_returnflag AS flag,
+           {dsum_sql('l_quantity')} AS qty
+    FROM lineitem GROUP BY l_linestatus, l_returnflag
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): widen by pivot then melt back to long form — the
+    round-trip is the two-key GROUP BY (the oracle), which is exactly why
+    unpivot is a reshape, not a recomputation. Nulls dropped to match
+    pivot cells with no underlying group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum(F.col("l_quantity")))
+    )
+    return wide.unpivot(
+        ["l_linestatus"], ["A", "N", "R"], "flag", "qty"
+    ).filter(F.col("qty").isNotNull())
+
+
+_LISTAGG_SQL_SPARK = """
+SELECT l_returnflag, listagg(ls, ',') WITHIN GROUP (ORDER BY ls) AS statuses
+FROM (SELECT DISTINCT l_returnflag, l_linestatus AS ls FROM lineitem)
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT l_returnflag, string_agg(ls, ',' ORDER BY ls) AS statuses
+    FROM (SELECT DISTINCT l_returnflag, l_linestatus AS ls FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg): per group, the
+    sorted distinct member list as one delimited string. WITHIN GROUP
+    ordering is what makes the result deterministic — an unordered
+    listagg is partitioning-dependent and would never hash-match."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_LISTAGG_SQL_SPARK)

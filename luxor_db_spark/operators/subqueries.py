@@ -78,3 +78,23 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_CTE_RECURSIVE_SQL)
+
+
+_SUB_LATERAL_SQL = """
+SELECT o.o_orderkey, o.o_totalprice, li.n_items, li.max_qty
+FROM orders o, LATERAL (
+  SELECT COUNT(*) AS n_items, MAX(l.l_quantity) AS max_qty
+  FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+) li
+WHERE o.o_orderkey < 1000
+"""
+
+
+@query("sub_lateral", oracle=_SUB_LATERAL_SQL)
+def sub_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (shared Spark/DuckDB syntax): per-order
+    lineitem stats as a derived table. Catalyst decorrelates to an
+    aggregate + equi-join — same plan as writing the join by hand, but the
+    query reads as 'for each row, compute...'"""
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_SUB_LATERAL_SQL)

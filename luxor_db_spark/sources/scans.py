@@ -260,3 +260,17 @@ def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("days", "365")
         .load()
     )
+
+
+_VALUES_SQL = """
+SELECT t.tier, t.lo, t.hi FROM (VALUES
+  ('bronze', 0, 1000), ('silver', 1000, 5000), ('gold', 5000, 100000)
+) AS t(tier, lo, hi)
+"""
+
+
+@query("scan_values", oracle=_VALUES_SQL)
+def scan_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES relation (shared Spark/DuckDB syntax) — the constant
+    relation that seeds broadcast lookup tables without any file I/O."""
+    return spark.sql(_VALUES_SQL)
