@@ -274,3 +274,41 @@ def scan_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inline VALUES relation (shared Spark/DuckDB syntax) — the constant
     relation that seeds broadcast lookup tables without any file I/O."""
     return spark.sql(_VALUES_SQL)
+
+
+@query(
+    "sink_merge_upsert",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey < 100 THEN o_totalprice * 1.1
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey < 100 THEN 'updated' ELSE 'kept' END AS merge_op
+    FROM orders
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert over immutable Parquet: the anti-join ∪ updates rewrite
+    (matched rows replaced, unmatched kept), written and re-read as a new
+    snapshot — copy-on-write table maintenance without a transaction log.
+
+    Scale shape: one equi-anti-join on the key + a union — both sides
+    prunable by partition when the base table is key-partitioned, so an
+    upsert touching 1% of partitions rewrites 1% of the data. (Format-level
+    MERGE — Delta/Iceberg — replaces the file rewrite, not the plan shape.)
+    """
+    base = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    updates = (
+        base.filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            F.lit("updated").alias("merge_op"),
+        )
+    )
+    kept = base.join(updates.select("o_orderkey"), "o_orderkey", "left_anti").select(
+        "o_orderkey", "o_totalprice", F.lit("kept").alias("merge_op")
+    )
+    merged = kept.unionByName(updates)
+    out = _tmpdir("sink_merge")
+    merged.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
