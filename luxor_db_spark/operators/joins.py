@@ -424,3 +424,43 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("flag")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+                           ELSE user_id % 50 END AS k, event_id
+               FROM events WHERE event_id < 500),
+         b AS (SELECT CASE WHEN event_id % 5 = 0 THEN NULL
+                           ELSE user_id % 50 END AS k, event_id
+               FROM events WHERE event_id >= 500 AND event_id < 1000)
+    SELECT a.event_id AS a_id, b.event_id AS b_id
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing — still a hash-partitionable equi-join
+    (NULLs hash to one partition; salt them if the null share is skewed).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.col("event_id") < 500)
+        .select(
+            F.when(F.col("event_id") % 7 == 0, None)
+            .otherwise(F.col("user_id") % 50)
+            .alias("k"),
+            F.col("event_id").alias("a_id"),
+        )
+    )
+    b = (
+        ev.filter((F.col("event_id") >= 500) & (F.col("event_id") < 1000))
+        .select(
+            F.when(F.col("event_id") % 5 == 0, None)
+            .otherwise(F.col("user_id") % 50)
+            .alias("k"),
+            F.col("event_id").alias("b_id"),
+        )
+    )
+    return a.join(b, a.k.eqNullSafe(b.k)).select("a_id", "b_id")

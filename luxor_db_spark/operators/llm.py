@@ -1241,3 +1241,56 @@ def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(split.alias("split")).groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@query(
+    "llm_seq_pack",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             {_HEXD_SQL.format(x="CAST(doc_id AS VARCHAR)", i=1)} AS shard,
+             len({_TOKENS_DUCK}) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tok) / 2048) AS BIGINT) AS seq_id,
+             n_tok
+      FROM toks
+    )
+    SELECT shard, seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+    FROM packed GROUP BY shard, seq_id
+    """,
+)
+def llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: concatenate documents (doc_id order
+    within a hash shard) and chunk at a 2048-token budget — contiguous
+    packing, the streaming-friendly variant of bin packing every pretrain
+    pipeline uses. seq_id = floor(tokens-before-this-doc / budget); one
+    window cumsum per shard, no cross-shard coordination, embarrassingly
+    parallel across shards."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        _hexdigit(F.col("doc_id").cast("string"), 1).alias("shard"),
+        F.size(F.expr(_TOKENS)).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select(
+        "shard",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048)
+        .cast("bigint")
+        .alias("seq_id"),
+        "n_tok",
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("seq_tokens"),
+    )
