@@ -449,3 +449,25 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("string").try_cast("int").alias("good_int"),
         F.col("source").try_cast("double").alias("bad_dbl"),
     )
+
+
+@query(
+    "fn_format",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%s-%08d', o_orderpriority, o_orderkey) AS order_tag,
+           printf('%.2f', o_totalprice) AS price_str
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-style string formatting (Spark format_string ≡ DuckDB printf —
+    same %-conversions); the display/export formatting primitive."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.format_string(
+            "%s-%08d", F.col("o_orderpriority"), F.col("o_orderkey")
+        ).alias("order_tag"),
+        F.format_string("%.2f", F.col("o_totalprice")).alias("price_str"),
+    )

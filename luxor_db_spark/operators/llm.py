@@ -1294,3 +1294,37 @@ def llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("seq_tokens"),
     )
+
+
+@query(
+    "llm_embed_norm",
+    oracle="""
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> ROUND(CAST(x AS DOUBLE) /
+                  sqrt(list_aggregate(list_transform(embedding,
+                       y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')),
+                  4)) AS unit_vec,
+           ROUND(sqrt(list_aggregate(list_transform(embedding,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')), 4)
+               AS l2_norm
+    FROM embeddings
+    """,
+)
+def llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization to unit vectors (the pre-ANN step that turns cosine
+    into a plain dot product, halving the per-pair arithmetic in every
+    downstream similarity join). Per-row array math, no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda y: y.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(sq_sum)
+    unit = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") / norm, 4)
+    )
+    return e.select(
+        "vec_id", unit.alias("unit_vec"), F.round(norm, 4).alias("l2_norm")
+    )
