@@ -390,3 +390,31 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     listagg is partitioning-dependent and would never hash-match."""
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(_LISTAGG_SQL_SPARK)
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 4) AS lo,
+           ROUND(MAX(value), 4) AS hi
+    FROM events GROUP BY bin
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (bin = floor(v/width)): one hash agg, each
+    mapper emits at most n_bins partial rows — constant shuffle volume no
+    matter the input size, which is why fixed-width beats equi-depth for a
+    first look at 100 TB (equi-depth needs a quantile pass first)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / 50).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )

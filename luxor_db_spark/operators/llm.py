@@ -1328,3 +1328,43 @@ def llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", unit.alias("unit_vec"), F.round(norm, 4).alias("l2_norm")
     )
+
+
+@query(
+    "llm_hard_negatives",
+    oracle=f"""
+    SELECT q_id, neg_id, sim FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS neg_id,
+             ROUND({_COS_DUCK.format(a='q.embedding', b='c.embedding')}, 4) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND({_COS_DUCK.format(a='q.embedding', b='c.embedding')}, 4)
+                        DESC, c.vec_id) AS rn
+      FROM embeddings q JOIN embeddings c ON q.label <> c.label
+      WHERE q.vec_id < 20)
+    WHERE rn <= 2
+    """,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the most
+    cosine-similar vectors of a DIFFERENT label — the pairs that teach a
+    model the decision boundary. Same broadcast-and-rank shape as
+    `llm_knn_join` with the label inequality as the join predicate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("neg_id"), "label", F.col("embedding").alias("cv")
+    )
+    scored = cand.join(
+        broadcast(qs), F.col("q_label") != F.col("label")
+    ).withColumn("sim", F.round(_cosine(F.col("qv"), F.col("cv")), 4))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neg_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("q_id", "neg_id", "sim")
+    )

@@ -133,3 +133,54 @@ def query_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+@query(
+    "query_q7",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+           {dsum_sql(_REV)} AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name IN ('CHINA', 'FRANCE') AND sn.n_name IN ('CHINA', 'FRANCE')
+      AND cn.n_name <> sn.n_name
+    GROUP BY cn.n_name, sn.n_name, ship_year
+    """,
+)
+def query_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume-shipping shape: revenue between two nation pairs by year —
+    the two independent dimension paths (customer-nation via orders,
+    supplier-nation via lineitem) that force a plan to keep both lookup
+    chains broadcast while the fact table shuffles once."""
+    from pyspark.sql.functions import broadcast as bc
+
+    t = tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    cn = t.nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("CHINA", "FRANCE"))
+    sn = t.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("CHINA", "FRANCE"))
+    j = (
+        t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .join(bc(cn), t.customer.c_nationkey == F.col("cn_key"))
+        .join(t.supplier, t.lineitem.l_suppkey == t.supplier.s_suppkey)
+        .join(bc(sn), t.supplier.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return (
+        j.groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(dsum(F.expr(_REV)).alias("volume"))
+    )
