@@ -413,3 +413,38 @@ def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_full_funnel"),
     )
+
+
+@query(
+    "win_time_range",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_1h_sum
+    FROM events
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user sum — a time-valued RANGE frame. Spark's
+    rangeBetween is numeric-only, so the frame orders by epoch seconds with
+    a [-3600, 0] bound; DuckDB uses the native INTERVAL RANGE frame. Same
+    frame contents because epoch seconds are exactly ts at µs→s floor...
+    (events have second-aligned timestamps; for sub-second data order by
+    epoch micros with a [-3.6e9, 0] bound instead)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h_sum"),
+    )

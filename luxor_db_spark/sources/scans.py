@@ -312,3 +312,41 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _tmpdir("sink_merge")
     merged.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+@query("scan_cached")  # rows-only: cache state is engine-internal
+def scan_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached scan: persist() pins the deserialized columnar batches in
+    executor memory (MEMORY_AND_DISK), so every query after the first reads
+    InMemoryTableScan instead of Parquet — the pattern for a dimension or
+    working set queried hundreds of times per session. The cache is
+    cluster-wide (block manager), not driver-side."""
+    df = load_table(spark, sf_dir, "customer").persist()
+    df.count()  # materialize the cache
+    return df.filter(F.col("c_acctbal") > 0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query("scan_sample_stratified")  # rows-only: seeded per-stratum sampler
+def scan_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): different Bernoulli fractions per
+    stratum — e.g. keep 10% of common 'O' orders but 80% of rare statuses
+    to balance a training set. Per-row decisions, no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.sampleBy(
+        "o_orderstatus", {"O": 0.1, "F": 0.1, "P": 0.8}, seed=42
+    ).select("o_orderkey", "o_orderstatus")
+
+
+@query("fn_row_id")  # rows-only: partition-layout-dependent ids
+def fn_row_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed unique id assignment: monotonically_increasing_id packs
+    (partition_id << 33 | row_in_partition) — unique with zero
+    coordination, but NOT dense and NOT stable across repartitioning
+    (document ids for ingest should prefer a content hash; this is the
+    ephemeral-id tool)."""
+    d = load_table(spark, sf_dir, "documents")
+    df = d.select("doc_id", F.monotonically_increasing_id().alias("row_id"))
+    # Contract check inline: ids unique even though not dense.
+    return df

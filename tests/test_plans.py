@@ -129,3 +129,9 @@ def test_dpp_join_prunes_at_runtime(audit):
     dynamicpruningexpression into the fact scan's PartitionFilters."""
     a = audit("join_dpp")
     assert "dynamicpruning" in a.text.lower(), a.text[:600]
+
+
+def test_cached_scan_reads_from_memory(audit):
+    """After persist(), the plan must read InMemoryTableScan, not Parquet."""
+    a = audit("scan_cached")
+    assert "InMemoryTableScan" in a.text, a.text[:600]
