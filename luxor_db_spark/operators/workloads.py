@@ -184,3 +184,35 @@ def query_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(F.expr(_REV)).alias("volume"))
     )
+
+
+@query(
+    "query_q6",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def query_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecasting-revenue shape: the pure scan benchmark — every
+    predicate pushes to Parquet (row-group min/max skipping does the heavy
+    lifting), then a single global aggregate. The query whose runtime IS
+    scan throughput."""
+    t = tables(spark, sf_dir, "lineitem")
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
