@@ -420,19 +420,18 @@ def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, ts,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
-             PARTITION BY user_id ORDER BY ts
-             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+             PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS trailing_1h_sum
     FROM events
     """,
 )
 def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour per-user sum — a time-valued RANGE frame. Spark's
-    rangeBetween is numeric-only, so the frame orders by epoch seconds with
-    a [-3600, 0] bound; DuckDB uses the native INTERVAL RANGE frame. Same
-    frame contents because epoch seconds are exactly ts at µs→s floor...
-    (events have second-aligned timestamps; for sub-second data order by
-    epoch micros with a [-3.6e9, 0] bound instead)."""
+    rangeBetween is numeric-only, so BOTH engines frame over floored epoch
+    seconds with a [-3600, 0] bound (a DuckDB INTERVAL frame would compare
+    at µs precision and disagree on sub-second boundary events — caught at
+    sf0.1, invisible at sf0.01)."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")

@@ -97,8 +97,9 @@ def assert_parity(sdf, duck_con, sql: str, key: str = "?") -> None:
     )
     cs, cd = canonical_rows(s_cols, s_rows), canonical_rows(d_cols, d_rows)
     if cs != cd:
-        diff_s = [r for r in cs if r not in set(cd)][:5]
-        diff_d = [r for r in cd if r not in set(cs)][:5]
+        set_cd, set_cs = set(cd), set(cs)  # hoisted: O(n), not O(n²)
+        diff_s = [r for r in cs if r not in set_cd][:5]
+        diff_d = [r for r in cd if r not in set_cs][:5]
         raise AssertionError(
             f"[{key}] value mismatch ({len(diff_s)}+ differing rows)\n"
             f"  spark-only: {diff_s}\n  duck-only:  {diff_d}\n"
