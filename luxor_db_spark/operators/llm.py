@@ -1368,3 +1368,89 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select("q_id", "neg_id", "sim")
     )
+
+
+@query(
+    "llm_dedup_incremental",
+    oracle=f"""
+    WITH base AS (SELECT md5({_NORM_DUCK}) AS fp FROM documents
+                  WHERE doc_id < 250),
+    new AS (SELECT doc_id, md5({_NORM_DUCK}) AS fp FROM documents
+            WHERE doc_id >= 250)
+    SELECT n.doc_id, n.fp FROM new n
+    WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.fp = n.fp)
+    """,
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-corpus) dedup: new crawl batch anti-joined
+    against the existing corpus's fingerprint set — the shape every
+    continuously-updated corpus runs daily. Only fingerprints cross the
+    shuffle; at 100 TB the base side is a fingerprint-only table orders of
+    magnitude smaller than the corpus, and bucketing it on fp makes the
+    daily anti-join shuffle-free for the base side."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.expr(_NORM))
+    base = d.filter(F.col("doc_id") < 250).select(fp.alias("fp"))
+    new = d.filter(F.col("doc_id") >= 250).select("doc_id", fp.alias("fp"))
+    return new.join(base, "fp", "left_anti").select("doc_id", "fp")
+
+
+# 5-token contamination shingles (longer than the 3-token near-dup ones:
+# contamination checks want high precision, not recall).
+_SHINGLE5 = """
+CASE WHEN size({tok}) >= 5 THEN
+  transform(sequence(1, size({tok}) - 4),
+            i -> concat_ws(' ', element_at({tok}, i), element_at({tok}, i+1),
+                                element_at({tok}, i+2), element_at({tok}, i+3),
+                                element_at({tok}, i+4)))
+ELSE array() END
+""".format(tok="tokens")
+
+_SHINGLE5_DUCK = """
+CASE WHEN len({tok}) >= 5 THEN
+  list_transform(generate_series(1, len({tok}) - 4),
+    i -> {tok}[i] || ' ' || {tok}[i+1] || ' ' || {tok}[i+2] || ' '
+         || {tok}[i+3] || ' ' || {tok}[i+4])
+ELSE [] END
+""".format(tok=_TOKENS_DUCK)
+
+
+@query(
+    "llm_contamination",
+    oracle=f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest(list_distinct({_SHINGLE5_DUCK})) AS s
+      FROM documents WHERE doc_id < 5
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLE5_DUCK})) AS s
+      FROM documents WHERE doc_id >= 5
+    )
+    SELECT doc_id, COUNT(*) AS n_hits
+    FROM corpus JOIN bench USING (s)
+    GROUP BY doc_id
+    """,
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: corpus documents sharing any
+    5-token shingle with the held-out benchmark set (docs 0-4 stand in),
+    with hit counts for triage — the decontamination filter every eval-
+    honest training pipeline runs. The benchmark shingle set is tiny →
+    broadcast; the corpus side streams through map-side, no corpus
+    shuffle at all."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", F.expr(_TOKENS)
+    )
+    bench = (
+        d.filter(F.col("doc_id") < 5)
+        .select(F.explode(F.array_distinct(F.expr(_SHINGLE5))).alias("s"))
+        .distinct()
+    )
+    corpus = d.filter(F.col("doc_id") >= 5).select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE5))).alias("s")
+    )
+    return (
+        corpus.join(broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
