@@ -1454,3 +1454,81 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+@query(
+    "llm_corpus_clean",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             md5({_NORM_DUCK}) AS fp,
+             len({_TOKENS_DUCK}) AS n_tok,
+             CAST(len(list_filter({_TOKENS_DUCK}, w -> w IN ({_STOP_SQL})))
+                  AS DOUBLE) / len({_TOKENS_DUCK}) AS stop_ratio,
+             CAST(len(list_distinct({_TOKENS_DUCK})) AS DOUBLE)
+                  / len({_TOKENS_DUCK}) AS distinct_ratio
+      FROM documents
+    ),
+    filtered AS (
+      SELECT * FROM scored
+      WHERE lang IN ('en', 'de', 'fr') AND n_tok >= 10
+        AND stop_ratio >= 0.01 AND distinct_ratio >= 0.30
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp
+                   ORDER BY n_chars DESC, doc_id) AS rn
+        FROM filtered)
+      WHERE rn = 1
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM deduped GROUP BY lang
+    """,
+)
+def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-cleaning pipeline as one composed plan: language
+    filter → length / stopword-density / lexical-diversity quality gates →
+    exact dedup keeping the longest survivor → per-language yield report.
+
+    One pass over the corpus: scoring is map-side expression work, the only
+    shuffles are the dedup fingerprint window and the final small
+    aggregate. This is the per-batch yield dashboard of a crawl ingest —
+    the composition every §2.11 primitive exists to serve.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", F.expr(_TOKENS)
+    )
+    n_tok = F.size("tokens")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.expr(_NORM)).alias("fp"),
+        n_tok.alias("n_tok"),
+        (
+            F.size(F.filter("tokens", lambda w: F.array_contains(stop_arr, w)))
+            .cast("double")
+            / n_tok
+        ).alias("stop_ratio"),
+        (F.size(F.array_distinct("tokens")).cast("double") / n_tok).alias(
+            "distinct_ratio"
+        ),
+    )
+    filtered = scored.filter(
+        F.col("lang").isin("en", "de", "fr")
+        & (F.col("n_tok") >= 10)
+        & (F.col("stop_ratio") >= 0.01)
+        & (F.col("distinct_ratio") >= 0.30)
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    deduped = filtered.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
