@@ -471,3 +471,49 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("order_tag"),
         F.format_string("%.2f", F.col("o_totalprice")).alias("price_str"),
     )
+
+
+@query(
+    "fn_trig",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(sin(p_size), 4) AS s,
+           ROUND(cos(p_size), 4) AS c,
+           ROUND(atan2(p_size, 10), 4) AS a2,
+           ROUND(degrees(atan(p_size)), 4) AS deg
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric family (ROUND(·,4): libm results can differ in the
+    last ulp between JVM and C implementations)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    s = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        F.round(F.sin(s), 4).alias("s"),
+        F.round(F.cos(s), 4).alias("c"),
+        F.round(F.atan2(s, F.lit(10)), 4).alias("a2"),
+        F.round(F.degrees(F.atan(s)), 4).alias("deg"),
+    )
+
+
+@query(
+    "fn_base64",
+    oracle="""
+    SELECT doc_id,
+           to_base64(ENCODE(lang)) AS b64,
+           ENCODE(lang) AS raw_bytes
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 encode round-trip (Spark base64/unbase64 ≡ DuckDB
+    to_base64/from_base64 over UTF-8 bytes) — the binary-safe transport
+    encoding for payload columns in JSON/CSV exports."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.base64(F.encode("lang", "utf-8")).alias("b64"),
+        F.encode("lang", "utf-8").alias("raw_bytes"),
+    )

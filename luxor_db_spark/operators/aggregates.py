@@ -418,3 +418,28 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("hi"),
         )
     )
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT l_returnflag,
+           bool_or(l_quantity > 49) AS any_big,
+           bool_and(l_quantity > 0) AS all_positive,
+           CAST(SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deep_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_or/bool_and + conditional count): the
+    existence/invariant checks that replace a per-group EXISTS subquery
+    with one map-combinable aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_or(F.col("l_quantity") > 49).alias("any_big"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.sum(F.when(F.col("l_discount") > 0.08, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deep_discount"),
+    )
