@@ -67,3 +67,37 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag difference: multiplicity = max(0, count_A - count_R) per value."""
     a, r = _sides(spark, sf_dir)
     return a.exceptAll(r)
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal, NULL AS region
+    FROM customer WHERE c_custkey < 100
+    UNION ALL
+    SELECT s_suppkey AS id, s_name AS name, NULL AS bal, 'from_supplier' AS region
+    FROM supplier
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: unionByName(allowMissingColumns=True) aligns
+    by column NAME and null-fills what either side lacks — how batches
+    with drifting schemas append into one table (positional unionAll would
+    silently mis-align)."""
+    from luxor_db_spark.catalog import load_table
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.lit("from_supplier").alias("region"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)

@@ -350,3 +350,23 @@ def fn_row_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = d.select("doc_id", F.monotonically_increasing_id().alias("row_id"))
     # Contract check inline: ids unique even though not dense.
     return df
+
+
+@query("scan_schema_merge")  # rows-only: schema-evolution read
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two Parquet file generations with different
+    columns read as one table via mergeSchema — the footer union becomes
+    the read schema and missing columns null-fill per file. The ingest
+    pattern that lets a 100 TB table gain columns without rewriting
+    history (pay the footer-merge cost only when schemas actually drift)."""
+    base = _tmpdir("schema_merge")
+    o = load_table(spark, sf_dir, "orders")
+    o.select("o_orderkey", "o_totalprice").limit(500).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/gen=1")
+    o.select("o_orderkey", "o_totalprice", "o_orderpriority").limit(500).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/gen=2")
+    return spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/gen=1", f"{base}/gen=2"
+    )
