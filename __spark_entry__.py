@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from luxor_db_spark.driver_coverage import coverage_order
 from luxor_db_spark.registry import ORACLES, load_all_queries
 
 
@@ -27,8 +28,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator key from SURVEY.md §2."""
-    return dict(load_all_queries())
+    """One entry per implemented operator key from SURVEY.md §2.
+
+    Ordered never-driver-checked-first (see ``driver_coverage``) so the
+    driver's ~50-key-per-round correctness window rotates through the whole
+    registry across rounds.
+    """
+    q = load_all_queries()
+    return {k: q[k] for k in coverage_order(list(q))}
 
 
 def oracle_sql() -> dict[str, str]:
