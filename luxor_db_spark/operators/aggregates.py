@@ -334,12 +334,15 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via Greenwald-Khanna sketch (mergeable →
     partial+final like any agg; the constant-memory path when exact
-    `agg_percentile`'s full sort-by-group is too expensive at scale)."""
+    `agg_percentile`'s full sort-by-group is too expensive at scale).
+    Emitted as scalar p50/p95/p99 columns (not an array) so downstream
+    row-hashing consumers can process the result."""
     li = load_table(spark, sf_dir, "lineitem")
+    sketch = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "approx_p"
-        ),
+        F.element_at(sketch, 1).alias("p50"),
+        F.element_at(sketch, 2).alias("p95"),
+        F.element_at(sketch, 3).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
 

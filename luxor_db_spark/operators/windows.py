@@ -379,9 +379,10 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COUNT(*) AS n_users,
            COUNT(t_view) AS n_view,
-           SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS n_view_click,
-           SUM(CASE WHEN t_purchase > t_click AND t_click > t_view
-                    THEN 1 ELSE 0 END) AS n_full_funnel
+           CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view_click,
+           CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
     FROM stages
     """,
 )
