@@ -113,13 +113,26 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stop-shingle cap for llm_dedup_near: a shingle appearing in > _DF_CAP
+# documents contributes > _DF_CAP² candidate pairs to the inverted-index
+# self-join while carrying almost no discriminative signal (boilerplate,
+# headers, license text). Dropping it bounds the posting-list blowup — the
+# one quadratic corner in the exact-Jaccard path at corpus scale. Jaccard
+# is then computed over the capped shingle universe (both intersection and
+# set sizes), mirrored exactly in the DuckDB oracle. At the test SFs the
+# max observed df is 25, so the cap is inert locally.
+_DF_CAP = 100
+
+
 @query(
     "llm_dedup_near",
     oracle=f"""
-    WITH sh AS (
+    WITH sh0 AS (
       SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS s
       FROM documents
     ),
+    hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {_DF_CAP}),
+    sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -137,15 +150,28 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Inverted-index self-join: only docs sharing a shingle become candidate
     pairs; Jaccard stays an integer ratio (raw double, engine-identical).
+    Shingles with document frequency > _DF_CAP are dropped before the join
+    (stop-shingles): the hot set is tiny, so it broadcasts into a
+    map-side anti-join, and the k² posting blowup is bounded by the cap.
     This is the oracle-checkable core; `llm_dedup_minhash` is the
     sub-quadratic scale path.
     """
     d = load_table(spark, sf_dir, "documents").withColumn(
         "tokens", F.expr(_TOKENS)
     )
-    sh = d.select(
+    sh_all = d.select(
         "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES))).alias("s")
     )
+    # Hot-shingle set: partial (map-side) count keeps the df shuffle small
+    # (distinct shingles only), and the > _DF_CAP survivors are few enough
+    # to broadcast — the anti-join adds no extra shuffle of sh_all.
+    hot = (
+        sh_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _DF_CAP)
+        .select("s")
+    )
+    sh = sh_all.join(F.broadcast(hot), "s", "left_anti")
     # Deliberately aggregated from the exploded table (NOT size(shingles)
     # map-side): the aggregation's Exchange is computed once and read by
     # both the x and y join branches via ReuseExchange, whereas a map-side

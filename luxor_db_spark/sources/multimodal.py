@@ -35,11 +35,15 @@ _META_SCHEMA = (
 def _stub_decode_image(payload: bytes) -> tuple[str, int, int]:
     """STUB standing in for a real image decoder (PIL/libvips absent here).
 
-    Deterministic fake: derives (format, width, height) from the payload
-    bytes so tests are stable. A real deployment replaces ONLY this function;
-    the mapInPandas plumbing around it is production-shaped.
+    Deterministic fake: derives (format, width, height) from an md5 of the
+    payload bytes (NOT Python ``hash()``, whose per-process seed would make
+    results differ across runs) so tests are stable. A real deployment
+    replaces ONLY this function; the mapInPandas plumbing around it is
+    production-shaped.
     """
-    h = hash(payload) & 0x7FFFFFFF
+    import hashlib
+
+    h = int.from_bytes(hashlib.md5(payload).digest()[:4], "big") & 0x7FFFFFFF
     fmt = ("png", "jpeg", "webp")[h % 3]
     return fmt, 64 + h % 1920, 64 + (h >> 11) % 1080
 
