@@ -37,18 +37,25 @@ HEADLINE = [
     "sort_multi",
     "set_except_all",
     "fn_string",
+    "fn_array_hof",
     "udf_pandas",
     "llm_dedup_exact",
     "llm_dedup_near",
+    "llm_minhash_lsh",
     "llm_tfidf_topterms",
     "llm_cosine_topk",
     "llm_knn_join",
     "llm_langid",
+    "llm_corpus_clean",
     "join_skew_salted",
     "sub_scalar",
     "query_q3",
     "query_q18",
+    "query_q21",
+    "set_intersect_all",
+    "agg_approx_percentile",
     "stream_tumbling",
+    "stream_stateful",
 ]
 
 

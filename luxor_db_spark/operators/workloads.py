@@ -3,23 +3,38 @@ schema) — end-to-end compositions of scan/filter/join/agg/window/sort that
 exercise the operator families together the way real reports do.
 
 Reference status: absent (reference ``Main.java:1-7`` only); shapes follow
-the public TPC-H specification's query intents (Q3 shipping priority,
-Q10 returned-item revenue, Q18 large-volume customers), simplified to the
-fixture columns (FIXTURES.md).
+the public TPC-H specification's 22 query intents, adapted to the fixture
+columns (FIXTURES.md). Adaptations where the fixture schema lacks TPC-H
+columns (no ``partsupp`` table, no ``l_receiptdate``/``l_commitdate``/
+``l_shipmode``, no ``c_phone``/comments):
 
-Scale shape of all three: lineitem joins orders on the shuffle; customer
-joins the orders side (smaller after filters); aggregates are
-partial+final; the final ORDER BY + LIMIT is TakeOrdered (no global sort
-materialization).
+- Q2/Q11/Q16/Q20: supplier-part relationships derived from ``lineitem``
+  (the fact table records who actually supplied what); supply cost proxied
+  by the minimum observed unit price ``l_extendedprice / l_quantity``.
+- Q4/Q12/Q21: "late delivery" proxied by ``l_shipdate`` relative to
+  ``o_orderdate``; ship mode proxied by ``l_linestatus``.
+- Q9: supply cost proxied by ``p_retailprice * l_quantity * 0.1``.
+- Q13: the order-comment exclusion proxied by ``o_orderpriority``.
+- Q22: country code proxied by ``c_nationkey``.
+
+The TPC-H keys q1 (``flagship_q1``), q3, q6, q7, q10, q18 live here or in
+``plans``; the remaining sixteen (q2, q4, q5, q8, q9, q11–q17, q19–q22)
+complete the suite so every TPC-H query intent has a runnable key.
+
+Scale shape: lineitem joins orders on the shuffle; dimension chains
+broadcast; aggregates are partial+final; every ORDER BY + LIMIT is
+TakeOrdered (no global sort materialization); scalar subqueries become
+broadcast crossJoins of 1-row aggregates; EXISTS/NOT EXISTS decorrelate
+into semi/anti joins or window-derived predicates.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from luxor_db_spark.catalog import tables
-from luxor_db_spark.functions.exact import dsum, dsum_sql
+from luxor_db_spark.functions.exact import davg, davg_sql, dsum, dsum_sql
 from luxor_db_spark.registry import query
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -147,7 +162,8 @@ def query_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation cn ON c_nationkey = cn.n_nationkey
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation sn ON s_nationkey = sn.n_nationkey
-    WHERE cn.n_name IN ('CHINA', 'FRANCE') AND sn.n_name IN ('CHINA', 'FRANCE')
+    WHERE cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name IN ('NATION_1', 'NATION_2')
       AND cn.n_name <> sn.n_name
     GROUP BY cn.n_name, sn.n_name, ship_year
     """,
@@ -164,10 +180,10 @@ def query_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cn = t.nation.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
-    ).filter(F.col("cust_nation").isin("CHINA", "FRANCE"))
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
     sn = t.nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
-    ).filter(F.col("supp_nation").isin("CHINA", "FRANCE"))
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
     j = (
         t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
         .join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
@@ -215,4 +231,727 @@ def query_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+
+
+@query(
+    "query_q2",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             MIN(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s_suppkey, s_acctbal, s_name, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    c AS (
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost,
+             MIN(cost) OVER (PARTITION BY p_partkey) AS min_cost
+      FROM part JOIN supply ON p_partkey = pk
+                JOIN eu ON sk = s_suppkey
+      WHERE p_size = 15 AND p_type = 'LARGE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+    FROM c WHERE cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def query_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost-supplier shape (no partsupp in the fixture schema:
+    the supplier-part relation and its cost come from lineitem — min
+    observed unit price per (part, supplier)). The correlated MIN subquery
+    decorrelates into a window MIN over p_partkey; the region-filtered
+    supplier chain broadcasts."""
+    t = tables(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
+    supply = t.lineitem.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    eu = (
+        t.supplier.join(
+            F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    p = t.part.filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+    c = (
+        p.join(supply, p.p_partkey == F.col("pk"))
+        .join(F.broadcast(eu), F.col("sk") == F.col("s_suppkey"))
+        .withColumn(
+            "min_cost", F.min("cost").over(Window.partitionBy("p_partkey"))
+        )
+    )
+    return (
+        c.filter(F.col("cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "query_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def query_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority-checking shape ("late" = shipped after the order
+    date, standing in for commit<receipt). The correlated EXISTS
+    decorrelates into a left-semi join with the comparison in the join
+    condition — no subquery re-execution per row."""
+    t = tables(spark, sf_dir, "orders", "lineitem")
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = t.lineitem
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "query_q5",
+    oracle=f"""
+    SELECT n_name, {dsum_sql(_REV)} AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+                       AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def query_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 local-supplier-volume shape: revenue where customer and supplier
+    share a nation inside one region. The c_nationkey = s_nationkey
+    equality is the distinguishing constraint — it rides along on the join,
+    not as a post-filter over a wider result."""
+    t = tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+        "nation", "region",
+    )
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        t.customer.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(dsum(F.expr(_REV)).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@query(
+    "query_q8",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           {dsum_sql(f"CASE WHEN sn.n_name = 'NATION_3' THEN {_REV} ELSE 0 END")}
+           / {dsum_sql(_REV)} AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def query_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national-market-share shape: one nation's fraction of PROMO-part
+    revenue sold into one region, by year. Numerator and denominator are
+    both exact decimal sums from the same pass (a single grouped aggregate
+    computes both — no second scan)."""
+    t = tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier",
+        "nation", "region", "part",
+    )
+    cn = t.nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_reg")
+    )
+    sn = t.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = t.part.filter(F.col("p_type") == "PROMO")
+    j = (
+        t.lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(t.region), F.col("cn_reg") == F.col("r_regionkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("r_name") == "AMERICA")
+    )
+    rev = F.expr(_REV)
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                dsum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
+                / dsum(rev)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "query_q9",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           {dsum_sql(f"{_REV} - p_retailprice * l_quantity * 0.1")} AS sum_profit
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def query_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type-profit shape: profit per supplier nation per year
+    over name-matched parts. Supply cost is proxied by
+    p_retailprice * l_quantity * 0.1 (no partsupp.ps_supplycost in the
+    fixture schema); the per-row expression is computed identically in both
+    engines, then exact-decimal-summed."""
+    t = tables(
+        spark, sf_dir, "lineitem", "supplier", "part", "orders", "nation"
+    )
+    p = t.part.filter(F.col("p_name").like("%red%"))
+    profit = F.expr(_REV) - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    return (
+        t.lineitem.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "query_q11",
+    oracle=f"""
+    WITH val AS (
+      SELECT l_partkey AS partkey, {dsum_sql(_REV)} AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_5'
+      GROUP BY l_partkey
+    )
+    SELECT partkey, value FROM val
+    WHERE value > (SELECT {dsum_sql('value')} FROM val) * 0.0002
+    ORDER BY value DESC, partkey
+    """,
+)
+def query_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important-stock shape (stock value proxied by traded revenue per
+    part through NATION_5 suppliers). The uncorrelated scalar subquery —
+    the global total — becomes a broadcast crossJoin of a 1-row aggregate;
+    the per-part aggregate is computed once and reused for both sides."""
+    t = tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    n5 = t.nation.filter(F.col("n_name") == "NATION_5")
+    val = (
+        t.lineitem.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n5), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum(F.expr(_REV)).alias("value"))
+    )
+    total = val.agg(dsum(F.col("value")).alias("grand_total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("grand_total") * 0.0002)
+        .select("partkey", "value")
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+@query(
+    "query_q12",
+    oracle="""
+    SELECT l_linestatus AS ship_mode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def query_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-mode priority shape (mode proxied by l_linestatus,
+    "late" = shipped ≥30 days after ordering). Conditional counts CAST to
+    BIGINT per the repo convention so both engines agree on the type."""
+    t = tables(spark, sf_dir, "orders", "lineitem")
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t.orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+@query(
+    "query_q13",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def query_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer-order-distribution shape: two stacked aggregates with a
+    null-preserving outer join (customers with zero qualifying orders must
+    appear in the c_count = 0 bucket — the left join is the point)."""
+    t = tables(spark, sf_dir, "customer", "orders")
+    o = t.orders.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    per_cust = (
+        t.customer.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "query_q14",
+    oracle=f"""
+    SELECT 100.0 *
+           {dsum_sql(f"CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END")}
+           / {dsum_sql(_REV)} AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def query_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promotion-effect shape: PROMO share of one month's revenue.
+    Single pass, two conditional exact sums, one division at the end —
+    no second scan for the denominator."""
+    t = tables(spark, sf_dir, "lineitem", "part")
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    rev = F.expr(_REV)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    return li.join(t.part, F.col("l_partkey") == F.col("p_partkey")).agg(
+        (F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_revenue")
+    )
+
+
+@query(
+    "query_q15",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no, {dsum_sql(_REV)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def query_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top-supplier shape: quarter revenue per supplier, keep the
+    max-revenue supplier(s). The scalar MAX decorrelates into a broadcast
+    crossJoin; exact decimal sums make the equality comparison safe (both
+    engines produce the identical double)."""
+    t = tables(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.expr(_REV)).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        t.supplier.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "query_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def query_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 parts-supplier-relationship shape (the relation comes from
+    lineitem; the complaint exclusion is a name pattern). NOT IN becomes a
+    broadcast left-anti join — the excluded supplier list is tiny, so the
+    exclusion never shuffles the fact side."""
+    t = tables(spark, sf_dir, "lineitem", "part", "supplier")
+    p = t.part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    excluded = t.supplier.filter(F.col("s_name").like("%7%")).select("s_suppkey")
+    return (
+        t.lineitem.join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "query_q17",
+    oracle=f"""
+    WITH pq AS (
+      SELECT l_partkey AS agg_partkey,
+             0.2 * ({davg_sql('l_quantity')}) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN pq ON agg_partkey = l_partkey
+    WHERE p_brand = 'Brand#2' AND l_quantity < qty_threshold
+    """,
+)
+def query_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order shape: revenue from orders below 20% of the
+    part's average quantity. The correlated AVG subquery decorrelates into
+    a per-part pre-aggregate joined back to the fact table (computed once,
+    not per outer row); davg keeps the threshold bit-identical across
+    engines."""
+    t = tables(spark, sf_dir, "lineitem", "part")
+    pq = t.lineitem.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        (F.lit(0.2) * davg(F.col("l_quantity"))).alias("qty_threshold")
+    )
+    p = t.part.filter(F.col("p_brand") == "Brand#2")
+    return (
+        t.lineitem.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pq, F.col("agg_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "query_q19",
+    oracle=f"""
+    SELECT {dsum_sql(_REV)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def query_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted-revenue shape: three disjunctive brand/size/quantity
+    branches over the part-lineitem join. The disjunction references both
+    sides, so it evaluates post-join; the part side still broadcasts and
+    each branch's part-only conjuncts could seed a runtime filter."""
+    t = tables(spark, sf_dir, "lineitem", "part")
+    qty = F.col("l_quantity")
+    br = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .filter(br)
+        .agg(dsum(F.expr(_REV)).alias("revenue"))
+    )
+
+
+@query(
+    "query_q20",
+    oracle=f"""
+    WITH qty AS (
+      SELECT l_suppkey AS sk, {dsum_sql('l_quantity')} AS total_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_qty
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN qty ON s_suppkey = sk
+    WHERE n_name = 'NATION_1' AND total_qty > 50
+    ORDER BY s_name
+    """,
+)
+def query_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 potential-promotion shape (availability proxied by shipped
+    quantity: NATION_1 suppliers who moved >50 units of 'small%' parts in
+    1997). The semi-join chain aggregates the fact table BEFORE touching
+    supplier — the supplier join sees one row per supplier, not per
+    lineitem."""
+    t = tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    p = t.part.filter(F.col("p_name").like("small%"))
+    qty = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 50)
+    )
+    n1 = t.nation.filter(F.col("n_name") == "NATION_1")
+    return (
+        t.supplier.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qty, F.col("s_suppkey") == F.col("sk"))
+        .select("s_suppkey", "s_name", "total_qty")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "query_q21",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate >= l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def query_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 waiting-supplier shape: NATION_2 suppliers whose line items
+    shipped strictly after every other supplier on the same order ("the one
+    everyone waited for"). The EXISTS + NOT EXISTS pair decorrelates into
+    ONE aggregate over (order, supplier) plus window maxima — no correlated
+    re-scans of lineitem:
+
+    - ``smax``: each supplier's latest ship date per order (one shuffle).
+    - windows over the order give the order-wide max, the number of
+      suppliers, how many suppliers attain the max, and the second-highest
+      supplier max.
+    - "max ship date among OTHER suppliers" is then the order max — unless
+      this supplier is its unique holder, in which case the runner-up.
+    - a row qualifies iff the order has ≥2 suppliers and the row shipped
+      strictly after that other-supplier max (matches NOT EXISTS with >=).
+    """
+    t = tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    li = t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    smax = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smax")
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_supp = (
+        smax.withColumn("omax", F.max("smax").over(w))
+        .withColumn("nsupp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_at_max",
+            F.sum(F.when(F.col("smax") == F.col("omax"), 1).otherwise(0)).over(w),
+        )
+        .withColumn(
+            "runner_up",
+            F.max(F.when(F.col("smax") < F.col("omax"), F.col("smax"))).over(w),
+        )
+        .withColumn(
+            "other_max",
+            F.when(
+                (F.col("smax") == F.col("omax")) & (F.col("n_at_max") == 1),
+                F.col("runner_up"),
+            ).otherwise(F.col("omax")),
+        )
+        .select("l_orderkey", "l_suppkey", "nsupp", "other_max")
+    )
+    qual = li.join(per_supp, ["l_orderkey", "l_suppkey"]).filter(
+        (F.col("nsupp") >= 2) & (F.col("l_shipdate") > F.col("other_max"))
+    )
+    n2 = t.nation.filter(F.col("n_name") == "NATION_2")
+    return (
+        qual.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "query_q22",
+    oracle=f"""
+    WITH pool AS (
+      SELECT c_custkey, c_acctbal, c_nationkey
+      FROM customer WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+    ),
+    avg_bal AS (
+      SELECT {davg_sql('c_acctbal')} AS v FROM pool WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           {dsum_sql('c_acctbal')} AS totacctbal
+    FROM pool
+    WHERE c_acctbal > (SELECT v FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_nationkey
+    ORDER BY cntrycode
+    """,
+)
+def query_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global-sales-opportunity shape (country code proxied by
+    c_nationkey): above-average-balance customers in seven countries with
+    no recent orders (every fixture customer has SOME order, so the
+    dormancy window keeps the anti-join non-trivial). Scalar AVG →
+    broadcast crossJoin; NOT EXISTS → left-anti join against the
+    filtered orders."""
+    t = tables(spark, sf_dir, "customer", "orders")
+    pool = t.customer.filter(
+        F.col("c_nationkey").isin(1, 2, 3, 4, 5, 6, 7)
+    ).select("c_custkey", "c_acctbal", "c_nationkey")
+    avg_bal = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        davg(F.col("c_acctbal")).alias("v")
+    )
+    return (
+        pool.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(
+            t.orders.filter(
+                F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
     )
