@@ -448,3 +448,112 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_1h_sum"),
     )
+
+
+@query(
+    "ts_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS t_start, MAX(ts) AS t_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into sessions at
+    >30-minute gaps (the gap-and-island pattern — lag to flag boundaries,
+    running sum to number them), then per-session stats.
+
+    Scale shape: ONE shuffle on user_id serves both windows and the final
+    group-by (same partitioning); sessions never span users, so no
+    cross-partition state. This is the batch twin of `stream_session`
+    (which does the same with Structured Streaming session windows).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(new_sess).over(run).cast("bigint").alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+@query(
+    "ts_downsample",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           MAX(value) AS high, MIN(value) AS low,
+           COUNT(*) AS n
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (hypertable rollup): hourly open/close (first/last
+    value by (ts, event_id) — the unique tiebreak makes first/last
+    deterministic) plus high/low/count per event type.
+
+    Uses two opposed row_numbers + conditional aggregates instead of
+    min_by/max_by: engine-portable tie handling, and Catalyst still plans
+    ONE shuffle on the (event_type, bucket) grain for windows + group-by.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy("event_type", bucket).orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", bucket).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    b = ev.select(
+        "event_type",
+        bucket.alias("bucket"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count(F.lit(1)).alias("n"),
+    )
