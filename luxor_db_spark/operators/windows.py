@@ -538,14 +538,23 @@ def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE shuffle on the (event_type, bucket) grain for windows + group-by.
     """
     ev = load_table(spark, sf_dir, "events")
-    bucket = F.date_trunc("hour", F.col("ts"))
-    wa = Window.partitionBy("event_type", bucket).orderBy("ts", "event_id")
-    wd = Window.partitionBy("event_type", bucket).orderBy(
+    # Materialize the bucket as a column BEFORE the windows: windows and the
+    # final groupBy then share the exact (event_type, bucket) partitioning,
+    # so the whole query is one shuffle (two sorts, same exchange).
+    e0 = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
-    b = ev.select(
+    b = e0.select(
         "event_type",
-        bucket.alias("bucket"),
+        "bucket",
         "value",
         F.row_number().over(wa).alias("rn_a"),
         F.row_number().over(wd).alias("rn_d"),

@@ -135,3 +135,47 @@ def test_cached_scan_reads_from_memory(audit):
     """After persist(), the plan must read InMemoryTableScan, not Parquet."""
     a = audit("scan_cached")
     assert "InMemoryTableScan" in a.text, a.text[:600]
+
+
+def _op_counts(a):
+    """Operator histogram from a formatted plan (one entry per plan node)."""
+    import re
+    from collections import Counter
+
+    return Counter(re.findall(r"^\s*\(\d+\) ([A-Za-z]+)", a.text, re.M))
+
+
+def test_tpch_scalar_subqueries_broadcast_not_cartesian(audit):
+    """q11/q15/q22 decorrelate their scalar subqueries into crossJoins of
+    1-row aggregates: those must plan as a *broadcast* join (nested-loop or
+    conditionless BroadcastHashJoin — both bounded), never CartesianProduct."""
+    for key in ("query_q11", "query_q15", "query_q22"):
+        a = audit(key)
+        a.assert_no_cartesian()
+        ops = _op_counts(a)
+        n_bcast = ops["BroadcastNestedLoopJoin"] + ops["BroadcastHashJoin"]
+        assert n_bcast >= 1, f"{key}: scalar crossJoin did not broadcast: {ops}"
+
+
+def test_tpch_q21_decorrelates_without_cartesian(audit):
+    """q21's EXISTS + NOT EXISTS pair must stay a window/aggregate plan:
+    no cartesian, and only the (order[, supplier]) grains plus the final
+    group-by shuffle."""
+    a = audit("query_q21")
+    a.assert_no_cartesian()
+    n_shuffles = _op_counts(a)["Exchange"]
+    assert n_shuffles <= 4, f"q21 shuffle blowup: {n_shuffles} Exchanges"
+
+
+def test_sessionize_single_shuffle(audit):
+    """Sessionization must reuse ONE user_id shuffle for the lag window,
+    the running sum, and the per-session aggregate."""
+    n = _op_counts(audit("ts_sessionize"))["Exchange"]
+    assert n == 1, f"ts_sessionize should shuffle once, saw {n}"
+
+
+def test_downsample_single_shuffle(audit):
+    """OHLC downsampling: both row_number windows and the final group-by
+    share the (event_type, bucket) partitioning — one shuffle total."""
+    n = _op_counts(audit("ts_downsample"))["Exchange"]
+    assert n == 1, f"ts_downsample should shuffle once, saw {n}"
