@@ -29,6 +29,7 @@ CORRECTNESS_r{N}.json keys and flag a policy change.
 from __future__ import annotations
 
 import json
+import re
 from pathlib import Path
 
 _REPO_ROOT = Path(__file__).resolve().parent.parent
@@ -84,12 +85,15 @@ def _entry_green(entry: dict) -> bool:
     )
 
 
-def _load_driver_checked() -> frozenset[str]:
-    green: set[str] = set()
+def _load_driver_checked() -> dict[str, int]:
+    """Map of driver-green key -> round number in which it last ran green."""
+    green: dict[str, int] = {}
     files = sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json"))
     if not files:
-        return _FALLBACK_GREEN
+        return {k: 1 for k in _FALLBACK_GREEN}
     for path in files:
+        m = re.search(r"r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             data = json.loads(path.read_text())
         except (OSError, json.JSONDecodeError):
@@ -98,21 +102,33 @@ def _load_driver_checked() -> frozenset[str]:
             continue
         for key, entry in data.items():
             if isinstance(entry, dict) and _entry_green(entry):
-                green.add(key)
-    return frozenset(green) if green else _FALLBACK_GREEN
+                green[key] = max(green.get(key, 0), rnd)
+    return green if green else {k: 1 for k in _FALLBACK_GREEN}
 
 
-DRIVER_CHECKED: frozenset[str] = _load_driver_checked()
+_LAST_GREEN_ROUND: dict[str, int] = _load_driver_checked()
+DRIVER_CHECKED: frozenset[str] = frozenset(_LAST_GREEN_ROUND)
 
 # Driver window size observed in rounds 1-2.
 WINDOW_SIZE = 50
 
 
 def coverage_order(keys: list[str]) -> list[str]:
-    """Order keys for the driver: never-green first (registry order),
-    already-green last. Registry order is preserved within each group."""
+    """Order keys for the driver: never-green first (registry order), then
+    green keys by ascending last-green round (staleness resample order).
+
+    While fresh keys outnumber the window, this behaves exactly like
+    fresh-first rotation. Once every key has a green row, the window's tail
+    automatically re-checks the LEAST-recently-verified keys each round, so
+    a regression in a long-rotated-out key is caught within a few rounds
+    instead of never (the local pytest parity mirror remains the per-commit
+    regression gate; this is the driver-side backstop)."""
+    order = {k: i for i, k in enumerate(keys)}
     fresh = [k for k in keys if k not in DRIVER_CHECKED]
-    done = [k for k in keys if k in DRIVER_CHECKED]
+    done = sorted(
+        (k for k in keys if k in DRIVER_CHECKED),
+        key=lambda k: (_LAST_GREEN_ROUND.get(k, 0), order[k]),
+    )
     return fresh + done
 
 
