@@ -566,3 +566,66 @@ def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "ts_pattern_detect",
+    oracle="""
+    WITH nxt AS (
+      SELECT user_id, event_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS next_purchase
+      FROM events
+    )
+    SELECT user_id, event_id AS error_event, ts AS t_error,
+           next_purchase AS t_purchase
+    FROM nxt
+    WHERE event_type = 'error'
+      AND next_purchase IS NOT NULL
+      AND next_purchase - ts <= INTERVAL 10 MINUTE
+    """,
+)
+def ts_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern detection (MATCH_RECOGNIZE-lite): find every
+    'error' followed by a 'purchase' by the same user within 10 minutes.
+
+    The naive shape is a per-user self-join (error × later purchases) —
+    quadratic in events-per-user. Instead a forward-looking window computes
+    each row's next purchase timestamp in one pass: ONE shuffle on user_id,
+    per-row state is a single running minimum, and skewed users cost sort
+    time rather than join blowup. The (ts, event_id) tiebreak keeps "next"
+    deterministic for simultaneous events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(w).alias("next_purchase"),
+    )
+    return (
+        nxt.filter(
+            (F.col("event_type") == "error")
+            & F.col("next_purchase").isNotNull()
+            & (
+                F.col("next_purchase") - F.col("ts")
+                <= F.expr("INTERVAL 10 MINUTES")
+            )
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("error_event"),
+            F.col("ts").alias("t_error"),
+            F.col("next_purchase").alias("t_purchase"),
+        )
+    )

@@ -179,3 +179,12 @@ def test_downsample_single_shuffle(audit):
     share the (event_type, bucket) partitioning — one shuffle total."""
     n = _op_counts(audit("ts_downsample"))["Exchange"]
     assert n == 1, f"ts_downsample should shuffle once, saw {n}"
+
+
+def test_pattern_detect_single_shuffle(audit):
+    """Pattern detection must be the window rewrite (one user_id shuffle),
+    never a per-user self-join."""
+    a = audit("ts_pattern_detect")
+    a.assert_no_cartesian()
+    n = _op_counts(a)["Exchange"]
+    assert n == 1, f"ts_pattern_detect should shuffle once, saw {n}"
