@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from luxor_db_spark.catalog import load_table, register_views
 from luxor_db_spark.functions.exact import davg, davg_sql, dsum, dsum_sql
@@ -445,4 +446,75 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_discount") > 0.08, 1).otherwise(0))
         .cast("bigint")
         .alias("n_deep_discount"),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_event, n AS n_occurrences
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group modal value (most frequent event type per user) with a
+    deterministic tie-break (alphabetical on ties). Built as count + window
+    top-1 rather than Spark's `mode()` aggregate, whose tie choice is
+    partitioning-dependent and would never hash-match across engines.
+
+    Scale shape: the count collapses events to |users|x|types| rows
+    map-side; the window's row_number-then-rn=1 filter is rewritten by
+    Catalyst to a per-group limit (InferWindowGroupLimit), not a full sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH t AS (SELECT COUNT(*) AS total FROM events),
+    c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+    SELECT c.user_id, c.n AS n_events
+    FROM c, t WHERE c.n * 200 > t.total
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: keys whose frequency exceeds 1/200 of all rows — the
+    exact-threshold semantics a Misra-Gries / count-min screening pass
+    approximates at stream scale. Integer comparison (n * 200 > total), so
+    the selected set is exact and engine-portable.
+
+    Scale shape: one map-side-combinable count per key plus a 1-row global
+    count broadcast onto it; nothing but (key, count) pairs ever shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * 200 > F.col("total"))
+        .select("user_id", F.col("n").alias("n_events"))
     )

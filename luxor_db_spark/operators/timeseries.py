@@ -1,0 +1,324 @@
+"""Time-series analytics operators (SURVEY.md §2.5 extension).
+
+Reference status: absent (reference ``Main.java:1-7`` only); these are the
+hypertable-style analytics a time-series OLAP engine ships beyond plain
+windows: cohort retention, activity streaks, linear gap interpolation, and
+z-score anomaly detection.
+
+Determinism contract (see ``functions/exact.py``): float sums accumulate in
+DECIMAL and cast to double once, so means/variances are bit-identical across
+engines and partitionings; order-dependent statistics round at 4 decimals.
+
+Scale notes: every operator here first SHRINKS the data (distinct day/week
+grain, per-group sufficient statistics) before any wide operation, so the
+shuffled volume is |users|x|periods| or |groups|, not |events|. Per-series
+windows partition by the series key — skewed users cost sort time, never a
+join blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from luxor_db_spark.catalog import load_table
+from luxor_db_spark.functions.exact import DEC
+from luxor_db_spark.registry import query
+
+
+@query(
+    "ts_retention",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+      FROM events
+    ),
+    coh AS (
+      SELECT user_id, active_week,
+             MIN(active_week) OVER (PARTITION BY user_id) AS cohort_week
+      FROM active
+    )
+    SELECT cohort_week,
+           CAST((EPOCH(active_week) - EPOCH(cohort_week)) / 604800 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS n_active
+    FROM coh GROUP BY cohort_week, week_offset
+    """,
+)
+def ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active week, counted
+    in each subsequent week they return — the classic retention triangle.
+
+    Scale shape: the first distinct collapses events to |users|x|weeks| rows
+    BEFORE any window; the cohort week is a per-user window minimum (no
+    second scan of events), and the final aggregate runs on the already-tiny
+    grid. Week arithmetic stays integral (both engines truncate weeks to
+    Monday 00:00 UTC, so offsets are exact multiples of 604800 s).
+
+    Dialect note: DuckDB's date_trunc('week') yields DATE where Spark yields
+    TIMESTAMP — the oracle casts back to TIMESTAMP to align the schema.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    coh = active.select(
+        "active_week",
+        F.min("active_week").over(w).alias("cohort_week"),
+    )
+    off = (
+        (
+            F.unix_timestamp("active_week")
+            - F.unix_timestamp("cohort_week")
+        )
+        / 604800
+    ).cast("bigint")
+    return (
+        coh.select("cohort_week", off.alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query(
+    "ts_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id, MAX(len) AS max_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days
+    FROM runs GROUP BY user_id
+    """,
+)
+def ts_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (gaps-and-islands):
+    date minus row_number is constant within a run of consecutive days, so
+    grouping by it splits runs without a self-join.
+
+    Scale shape: events collapse to |users|x|days| distinct rows first; the
+    window and both aggregates all key on user_id (one logical grain), and
+    run length is a count, not a sequence materialization.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id", F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp")
+    )
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").alias("max_streak"),
+        F.sum("len").alias("n_active_days"),
+    )
+
+
+@query(
+    "ts_anomaly",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, COUNT(value) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+             SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               AS s2
+      FROM events GROUP BY event_type
+    ),
+    p AS (
+      SELECT event_type,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             SQRT((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                  / (n - 1)) AS sigma
+      FROM s
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - p.mu) / p.sigma, 4) AS z
+    FROM events e JOIN p USING (event_type)
+    WHERE ABS(e.value - p.mu) > 2.5 * p.sigma
+    """,
+)
+def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection: flag events whose value deviates more than
+    2.5 sample standard deviations from their event type's mean.
+
+    Determinism: mean and variance derive from exact DECIMAL sufficient
+    statistics (s1, s2) — bit-identical across engines and partition orders
+    — and the z threshold compares doubles built from those exact inputs
+    with the same expression shape, so the flagged set is stable. The z
+    output itself rounds at 4 decimals (exact.py rule 4).
+
+    Scale shape: the stats aggregate map-side-combines to one row per event
+    type, which broadcasts back onto the scan — the full table is never
+    shuffled. This is the sketch-then-broadcast pattern every screening
+    operator here uses.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast(DEC)
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(vdec).alias("s1"),
+        F.sum(vdec * vdec).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    prof = stats.select(
+        "event_type",
+        (s1d / F.col("n")).alias("mu"),
+        F.sqrt(
+            (s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1)
+        ).alias("sigma"),
+    )
+    return (
+        ev.join(F.broadcast(prof), "event_type")
+        .filter(
+            F.abs(F.col("value") - F.col("mu")) > 2.5 * F.col("sigma")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+            .alias("z"),
+        )
+    )
+
+
+@query(
+    "ts_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
+               AS avg_v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly
+      GROUP BY event_type
+    ),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                  AS TIMESTAMP) AS h
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.event_type, s.h, hourly.avg_v
+      FROM spine s LEFT JOIN hourly
+        ON s.event_type = hourly.event_type AND s.h = hourly.h
+    ),
+    br AS (
+      SELECT event_type, h, avg_v,
+             last_value(avg_v IGNORE NULLS) OVER wp AS prev_v,
+             last_value(CASE WHEN avg_v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER wp AS prev_h,
+             first_value(avg_v IGNORE NULLS) OVER wn AS next_v,
+             first_value(CASE WHEN avg_v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER wn AS next_h
+      FROM j
+      WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wn AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h AS hour_start,
+           CASE WHEN avg_v IS NOT NULL THEN avg_v
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                  prev_v + (next_v - prev_v) *
+                    ((EPOCH(h) - EPOCH(prev_h))
+                     / (EPOCH(next_h) - EPOCH(prev_h)))
+                ELSE NULL END AS v_interp,
+           (avg_v IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL)
+             AS interpolated
+    FROM br
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation over a dense hourly grid, per event type:
+    hours with no events get the straight-line value between the nearest
+    observed hours (NULL at the edges, where only one side exists). The
+    linear-fill complement of `ts_gap_fill`'s LOCF.
+
+    Determinism: hourly means use the exact-DECIMAL-sum convention; the
+    interpolation formula is written with identical shape/parenthesization
+    in both engines over exact integral epoch differences, so the doubles
+    match bitwise.
+
+    Scale shape: the spine is granularity-bounded (hours-in-range x
+    n_types), independent of data volume; the hourly rollup map-side
+    combines before the (small) spine join, and both bracketing windows
+    partition by event_type — parallel across series.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value"))
+        .alias("avg_v")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = spine.join(hourly, ["event_type", "h"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("avg_v").isNotNull(), F.col("h"))
+    br = j.select(
+        "event_type",
+        "h",
+        "avg_v",
+        F.last("avg_v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("prev_h"),
+        F.first("avg_v", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("next_h"),
+    )
+    frac = (
+        (F.unix_timestamp("h") - F.unix_timestamp("prev_h"))
+        / (F.unix_timestamp("next_h") - F.unix_timestamp("prev_h"))
+    )
+    v_interp = (
+        F.when(F.col("avg_v").isNotNull(), F.col("avg_v"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v")) * frac,
+        )
+    )
+    return br.select(
+        "event_type",
+        F.col("h").alias("hour_start"),
+        v_interp.alias("v_interp"),
+        (
+            F.col("avg_v").isNull()
+            & F.col("prev_v").isNotNull()
+            & F.col("next_v").isNotNull()
+        ).alias("interpolated"),
+    )

@@ -48,6 +48,7 @@ def load_all_queries() -> dict[str, Callable]:
             joins,  # §2.3
             aggregates,  # §2.4
             windows,  # §2.5
+            timeseries,  # §2.5 extension: retention/streak/anomaly/interp
             sorts,  # §2.6
             setops,  # §2.7
             subqueries,  # §3b entry 1: SQL-path subqueries/CTEs
