@@ -188,3 +188,51 @@ def test_pattern_detect_single_shuffle(audit):
     a.assert_no_cartesian()
     n = _op_counts(a)["Exchange"]
     assert n == 1, f"ts_pattern_detect should shuffle once, saw {n}"
+
+
+def test_anomaly_stats_broadcast_back(audit):
+    """Anomaly detection must broadcast the tiny per-type stats profile onto
+    the scan — the full events table is never shuffled; the only Exchange
+    carries map-side-combined partial aggregates (one row per type per
+    mapper)."""
+    a = audit("ts_anomaly")
+    a.assert_no_cartesian()
+    assert a.n_broadcast_joins >= 1, f"stats profile not broadcast:\n{a.text}"
+    assert a.n_sortmerge_joins == 0 and a.n_shuffled_hash_joins == 0, (
+        "ts_anomaly must not shuffle-join the events table"
+    )
+
+
+def test_mode_uses_group_limit(audit):
+    """The mode query's row_number-then-rn=1 must be rewritten to a
+    per-group limit (WindowGroupLimit), not a full per-user sort+filter."""
+    a = audit("agg_mode")
+    assert "WindowGroupLimit" in a.text, f"group-limit rewrite missing:\n{a.text}"
+
+
+def test_heavy_hitters_broadcasts_total(audit):
+    """Heavy hitters joins per-key counts against a 1-row global count: that
+    must be a broadcast (nested-loop on a single row is bounded), never a
+    CartesianProduct, and only count pairs may shuffle."""
+    a = audit("agg_heavy_hitters")
+    a.assert_no_cartesian()
+    assert a.n_nested_loop_joins + a.n_broadcast_joins >= 1, (
+        f"global total not broadcast:\n{a.text}"
+    )
+
+
+def test_interpolate_bounded_join_no_cartesian(audit):
+    """Interpolation joins a granularity-bounded spine to the hourly rollup
+    and brackets with per-type windows — no cartesian anywhere."""
+    a = audit("ts_interpolate")
+    a.assert_no_cartesian()
+
+
+def test_retention_and_streak_shrink_before_windows(audit):
+    """Retention/streak plans stay on the shrunken (user, period) grain:
+    a handful of Exchanges over distinct-collapsed rows, never a join."""
+    for key in ("ts_retention", "ts_streak"):
+        a = audit(key)
+        a.assert_no_cartesian()
+        n = _op_counts(a)["Exchange"]
+        assert n <= 3, f"{key}: expected <=3 Exchanges on shrunken grain, saw {n}"
