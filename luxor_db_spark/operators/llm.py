@@ -1558,3 +1558,87 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
     )
+
+
+@query(
+    "llm_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS_DUCK}) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id
+    ),
+    g AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('join', 'stream', 'window') GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             LN((g.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.len / g.avgdl)) AS s
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+    )
+    SELECT doc_id, COUNT(*) AS n_terms, ROUND(SUM(s), 4) AS bm25
+    FROM scored GROUP BY doc_id
+    """,
+)
+def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Okapi, k1=1.2, b=0.75) for the query terms
+    {'join', 'stream', 'window'}: per matching document, the number of query
+    terms present and the summed BM25 score.
+
+    Determinism: tf/df/len/N are integers; avgdl and every score factor use
+    the same expression shape in both engines, and the one irrational step
+    (LN) rounds at 4 decimals after the per-doc sum (exact.py rule 4).
+
+    Scale shape: the only full-corpus work is the tokenize + doc-length
+    rollup (map-side combinable). The scoring join carries (doc_id, term,
+    tf) for query terms only — bounded by |query| x |matching docs| — and
+    the df table (|query| rows) and corpus stats (1 row) broadcast.
+    """
+    terms = ["join", "stream", "window"]
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    g = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+    )
+    s = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+        )
+        * (F.col("tf") * 2.2)
+        / (
+            F.col("tf")
+            + 1.2 * (1 - 0.75 + 0.75 * F.col("len") / F.col("avgdl"))
+        )
+    )
+    return (
+        scored.select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("s"), 4).alias("bm25"),
+        )
+    )

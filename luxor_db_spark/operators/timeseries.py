@@ -322,3 +322,91 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("next_v").isNotNull()
         ).alias("interpolated"),
     )
+
+
+@query(
+    "ts_correlation",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(14,2)) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.v AS x, b.v AS y
+      FROM hourly a JOIN hourly b
+        ON a.h = b.h AND a.event_type < b.event_type
+    ),
+    s AS (
+      SELECT type_a, type_b, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, n AS n_hours,
+           ROUND((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (SQRT(n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * SQRT(n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+             AS corr
+    FROM s
+    """,
+)
+def ts_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series Pearson correlation matrix: hourly value sums per event
+    type, correlated pairwise over hours where both series observed
+    (type_a < type_b keeps each unordered pair once).
+
+    Determinism: all sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    accumulate in exact DECIMAL, so they are identical across engines and
+    partition orders; only the final correlation formula runs in double
+    (same shape both sides) and rounds at 4 decimals (exact.py rule 4).
+
+    Scale shape: the rollup collapses events to the granularity-bounded
+    |hours| x |types| grid map-side; the self-join keys on the hour and the
+    stats aggregate emits one row per type pair. Nothing event-sized ever
+    joins or shuffles twice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # v is exact at DECIMAL(14,2): fixture values carry 2 decimals, and the
+    # narrow precision keeps the x*y products inside DuckDB's int64/int128
+    # decimal paths at every SF (DECIMAL(18,6) squares overflow at sf0.1).
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("decimal(14,2)").alias("v"))
+    a, b = hourly.alias("a"), hourly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.v").alias("x"),
+        F.col("b.v").alias("y"),
+    )
+    s = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    corr = (
+        F.col("n") * F.col("sxy").cast("double") - sxd * syd
+    ) / (
+        F.sqrt(F.col("n") * F.col("sxx").cast("double") - sxd * sxd)
+        * F.sqrt(F.col("n") * F.col("syy").cast("double") - syd * syd)
+    )
+    return s.select(
+        "type_a",
+        "type_b",
+        F.col("n").alias("n_hours"),
+        F.round(corr, 4).alias("corr"),
+    )
