@@ -56,6 +56,9 @@ HEADLINE = [
     "agg_approx_percentile",
     "stream_tumbling",
     "stream_stateful",
+    "ts_sessionize",
+    "ts_anomaly",
+    "llm_bm25_search",
 ]
 
 

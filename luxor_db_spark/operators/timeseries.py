@@ -410,3 +410,71 @@ def ts_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_hours"),
         F.round(corr, 4).alias("corr"),
     )
+
+
+def _ewma_oracle() -> str:
+    """Generate the DuckDB EWMA oracle with the exact literal weights and
+    left-associative sum order the Spark expression uses (bit-identical
+    doubles before the final ROUND)."""
+    lam = 0.7
+    lags = ", ".join(
+        f"LAG(v, {k}) OVER w AS l{k}" for k in range(1, 24)
+    )
+    num = ["v * 1.0"]
+    den = ["1.0"]
+    for k in range(1, 24):
+        wt = repr(lam**k)
+        num.append(f"CASE WHEN l{k} IS NOT NULL THEN {wt} * l{k} ELSE 0 END")
+        den.append(f"CASE WHEN l{k} IS NOT NULL THEN {wt} ELSE 0 END")
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
+               AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    l AS (
+      SELECT event_type, h, v, {lags}
+      FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    )
+    SELECT event_type, h, v,
+           ROUND(({" + ".join(num)}) / ({" + ".join(den)}), 4) AS ewma
+    FROM l
+    """
+
+
+@query("ts_ewma", oracle=_ewma_oracle())
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponentially-weighted moving average (lambda=0.7) over each
+    event type's hourly mean, using the last 24 observations with weights
+    normalized over however many actually exist (exact at series edges).
+
+    True recursive EWMA is not window-expressible; the 24-term truncation
+    carries >99.97% of the weight mass (0.7^24) and stays a single window
+    pass: all 23 LAGs share one (event_type, h) sort — one shuffle, no
+    self-join, no iteration.
+
+    Determinism: hourly means use exact DECIMAL sums; every weight is the
+    same Python-float literal in both engines and the weighted sum is built
+    in the same left-associative order, so the doubles match bitwise before
+    the final ROUND(.,4) (exact.py rule 4).
+    """
+    lam = 0.7
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value"))
+        .alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    num = F.col("v") * F.lit(1.0)
+    den = F.lit(1.0)
+    for k in range(1, 24):
+        wt = F.lit(lam**k)
+        lg = F.lag("v", k).over(w)
+        num = num + F.when(lg.isNotNull(), wt * lg).otherwise(F.lit(0))
+        den = den + F.when(lg.isNotNull(), wt).otherwise(F.lit(0))
+    return hourly.select(
+        "event_type", "h", "v", F.round(num / den, 4).alias("ewma")
+    )
