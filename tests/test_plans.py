@@ -236,3 +236,30 @@ def test_retention_and_streak_shrink_before_windows(audit):
         a.assert_no_cartesian()
         n = _op_counts(a)["Exchange"]
         assert n <= 3, f"{key}: expected <=3 Exchanges on shrunken grain, saw {n}"
+
+
+def test_ewma_single_window_sort(audit):
+    """All 23 EWMA lags must share one (event_type, h) window sort: the plan
+    is rollup shuffle + window shuffle, nothing more."""
+    a = audit("ts_ewma")
+    a.assert_no_cartesian()
+    n = _op_counts(a)["Exchange"]
+    assert n <= 2, f"ts_ewma should be rollup+window (<=2 Exchanges), saw {n}"
+    assert _op_counts(a)["Window"] == 1, "EWMA lags must share one Window node"
+
+
+def test_correlation_stays_on_hourly_grid(audit):
+    """The correlation self-join keys on the hour over the rollup grid — no
+    cartesian, and no event-sized shuffle beyond the first rollup."""
+    a = audit("ts_correlation")
+    a.assert_no_cartesian()
+
+
+def test_bm25_broadcasts_small_sides(audit):
+    """BM25 must broadcast the df table and the 1-row corpus stats; the only
+    shuffle-joins allowed are on doc_id (tf ⋈ doc-length)."""
+    a = audit("llm_bm25_search")
+    a.assert_no_cartesian()
+    assert a.n_broadcast_joins + a.n_nested_loop_joins >= 2, (
+        f"df/stats not broadcast:\n{a.text}"
+    )
