@@ -517,3 +517,45 @@ def fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.base64(F.encode("lang", "utf-8")).alias("b64"),
         F.encode("lang", "utf-8").alias("raw_bytes"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, 'lang=([^&#]*)', 1) AS qlang
+    FROM (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      FROM documents
+    )
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (scheme/host/path/query param) — the canonicalization
+    primitive for web-corpus pipelines (host-level grouping, tracking-param
+    stripping, per-domain dedup). URLs are synthesized deterministically
+    from fixture columns; Spark parses with the built-in `parse_url` (JVM
+    java.net.URI), the oracle with equivalent anchored regexes — identical
+    on well-formed absolute URLs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("scheme"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("qlang"),
+    )

@@ -98,3 +98,40 @@ def sub_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     query reads as 'for each row, compute...'"""
     register_views(spark, sf_dir, "orders", "lineitem")
     return spark.sql(_SUB_LATERAL_SQL)
+
+
+# DuckDB side: native quantified comparisons. Spark side (below): Spark SQL
+# has no ANY/ALL comparison subqueries, so the operator IS the standard
+# rewrite — correlated `>= ALL` becomes a per-group MAX join, uncorrelated
+# `= ANY` becomes IN. Same semantics, engine-appropriate plan.
+_SUB_ANY_ALL_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice >= ALL (SELECT o2.o_totalprice FROM orders o2
+                             WHERE o2.o_custkey = o.o_custkey)
+  AND o.o_custkey = ANY (SELECT c.c_custkey FROM customer c
+                         WHERE c.c_acctbal > 0)
+"""
+
+_SUB_ANY_ALL_SPARK = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+JOIN (SELECT o_custkey, MAX(o_totalprice) AS mx
+      FROM orders GROUP BY o_custkey) m
+  ON o.o_custkey = m.o_custkey AND o.o_totalprice >= m.mx
+WHERE o.o_custkey IN (SELECT c.c_custkey FROM customer c
+                      WHERE c.c_acctbal > 0)
+"""
+
+
+@query("sub_any_all", oracle=_SUB_ANY_ALL_ORACLE)
+def sub_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison subqueries (ANY/ALL): each positive-balance
+    customer's maximal order(s). Spark SQL has no ANY/ALL syntax, so the
+    implementation is the canonical rewrite — correlated `>= ALL` as a
+    per-customer MAX aggregate joined back (one shuffle on the customer
+    grain), `= ANY` as IN → left-semi join. The comparison is against the
+    group's own MAX, so the float equality at the boundary is exact in both
+    engines (the max is one of the compared values, bit-identical)."""
+    register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(_SUB_ANY_ALL_SPARK)
