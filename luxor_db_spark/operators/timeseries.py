@@ -478,3 +478,98 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly.select(
         "event_type", "h", "v", F.round(num / den, 4).alias("ewma")
     )
+
+
+@query(
+    "win_pareto",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,2))
+               AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    w AS (
+      SELECT o_custkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run,
+             SUM(rev) OVER () AS tot,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rk
+      FROM r
+    )
+    SELECT o_custkey, CAST(rev AS DOUBLE) AS rev, rk,
+           CAST(run AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+    FROM w
+    WHERE CAST(run AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8
+    """,
+)
+def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) analysis: customers ranked by revenue, with each
+    one's running share of total revenue, cut at the 80% line.
+
+    Determinism: revenue and both sums are exact DECIMAL; the share is one
+    double division of bit-identical inputs, so the 0.8 boundary never
+    flips between engines.
+
+    Scale shape: the per-customer rollup shrinks orders to entity grain
+    map-side FIRST; only then does the global-order cumsum run. A total
+    order is inherent to Pareto ranking — at entity grain (millions of
+    rows, not billions of facts) a single-partition window is fine; beyond
+    that the standard fix is range-partitioned sort + per-partition prefix
+    sums offset by a broadcast of partition totals.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    wo = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    w = r.select(
+        "o_custkey",
+        "rev",
+        F.sum("rev").over(wrun).alias("run"),
+        F.sum("rev").over(wall).alias("tot"),
+        F.row_number().over(wo).alias("rk"),
+    )
+    share = F.col("run").cast("double") / F.col("tot").cast("double")
+    return w.filter(share <= 0.8).select(
+        "o_custkey",
+        F.col("rev").cast("double").alias("rev"),
+        "rk",
+        share.alias("cum_share"),
+    )
+
+
+@query(
+    "ts_calendar",
+    oracle="""
+    SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INTEGER) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY dow, hr
+    """,
+)
+def ts_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar heatmap rollup: activity count and value by (day-of-week,
+    hour-of-day) — the seasonality fingerprint behind capacity planning.
+    Output is bounded at 7x24 rows whatever the input size; one
+    map-side-combinable aggregate, constant shuffle volume.
+
+    Dialect note: Spark's dayofweek is 1-7 with Sunday=1; DuckDB's
+    EXTRACT(dow) is 0-6 with Sunday=0, so the oracle adds 1.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hr")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
