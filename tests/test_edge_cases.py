@@ -113,3 +113,67 @@ def test_sort_nulls_last_contract(spark):
     df = spark.createDataFrame([(None,), (2,), (1,)], schema)
     out = [r.v for r in df.orderBy(F.col("v").asc_nulls_last()).collect()]
     assert out == [1, 2, None]
+
+
+def test_new_analytics_invariants(spark, sf_dir):
+    """Cross-operator semantic invariants the oracle comparison can't
+    express: internal consistency of the round-3 analytics family."""
+    from luxor_db_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+
+    # Streaks: the longest streak can't exceed total active days, and both
+    # are at least 1 for any user that appears at all.
+    for r in QUERIES["ts_streak"](spark, sf_dir).collect():
+        assert 1 <= r.max_streak <= r.n_active_days
+
+    # Retention: the week-0 cohort count equals the cohort's user count
+    # (every user is active in their own first week by construction).
+    ret = QUERIES["ts_retention"](spark, sf_dir)
+    week0 = {
+        r.cohort_week: r.n_active
+        for r in ret.filter(F.col("week_offset") == 0).collect()
+    }
+    later = ret.filter(F.col("week_offset") > 0).collect()
+    for r in later:
+        assert r.n_active <= week0[r.cohort_week], (
+            "retention cannot exceed cohort size"
+        )
+
+    # Anomalies really sit beyond the threshold.
+    for r in QUERIES["ts_anomaly"](spark, sf_dir).collect():
+        assert abs(r.z) > 2.49  # 2.5 minus rounding slack
+
+    # Pareto: ranks are dense from 1, shares strictly increase with rank
+    # and never exceed the 0.8 cut.
+    rows = sorted(
+        QUERIES["win_pareto"](spark, sf_dir).collect(), key=lambda r: r.rk
+    )
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.cum_share < b.cum_share <= 0.8
+
+    # EWMA stays inside the running min/max envelope of its inputs (a
+    # convex combination can't escape it); the first row equals its value.
+    import collections
+
+    hist = collections.defaultdict(list)
+    for r in sorted(
+        QUERIES["ts_ewma"](spark, sf_dir).collect(),
+        key=lambda r: (r.event_type, r.h),
+    ):
+        window = (hist[r.event_type] + [r.v])[-24:]
+        assert min(window) - 1e-4 <= r.ewma <= max(window) + 1e-4
+        hist[r.event_type].append(r.v)
+
+    # BM25 scores are positive and every matched doc matched 1..3 terms.
+    for r in QUERIES["llm_bm25_search"](spark, sf_dir).collect():
+        assert r.bm25 > 0 and 1 <= r.n_terms <= 3
+
+    # Heavy hitters clear the 1/200 frequency bar against an
+    # independently-computed total.
+    from luxor_db_spark.catalog import load_table
+
+    ev_total = load_table(spark, sf_dir, "events").count()
+    for r in QUERIES["agg_heavy_hitters"](spark, sf_dir).collect():
+        assert r.n_events * 200 > ev_total
