@@ -8,10 +8,13 @@ Design (the part that must be real at 100 TB):
 - partitioning is by the metadata (never by payload), so planning stays
   cheap and payload bytes move at most once.
 
-The actual image/audio decode is STUBBED — codec libraries are not in this
-container. ``_stub_decode_image`` is a clearly-marked deterministic fake
-standing in for e.g. PIL/libvips; the Spark-side plumbing (schema, batch
-iteration, UDF signature) is real and tested.
+Decode is REAL when a codec library is importable: ``_decode_image`` opens
+the payload with PIL (lazy header parse — no full pixel decode for
+metadata) and only falls back to ``_stub_decode_image``, a clearly-marked
+deterministic fake, when PIL is absent (this container) or the bytes are
+not a decodable image (the text-byte fixture payloads). The Spark-side
+plumbing (schema, batch iteration, UDF signature) is identical on both
+paths and is what the tests pin down.
 """
 
 from __future__ import annotations
@@ -32,20 +35,41 @@ _META_SCHEMA = (
 )
 
 
+try:  # real codec path — not installed in this container
+    from PIL import Image as _PILImage
+    from PIL import UnidentifiedImageError as _PILError
+except ImportError:  # pragma: no cover - container has no PIL
+    _PILImage = None
+    _PILError = Exception
+
+
 def _stub_decode_image(payload: bytes) -> tuple[str, int, int]:
-    """STUB standing in for a real image decoder (PIL/libvips absent here).
+    """STUB standing in for a real image decoder when none is importable.
 
     Deterministic fake: derives (format, width, height) from an md5 of the
     payload bytes (NOT Python ``hash()``, whose per-process seed would make
-    results differ across runs) so tests are stable. A real deployment
-    replaces ONLY this function; the mapInPandas plumbing around it is
-    production-shaped.
+    results differ across runs) so tests are stable across rounds.
     """
     import hashlib
 
     h = int.from_bytes(hashlib.md5(payload).digest()[:4], "big") & 0x7FFFFFFF
     fmt = ("png", "jpeg", "webp")[h % 3]
     return fmt, 64 + h % 1920, 64 + (h >> 11) % 1080
+
+
+def _decode_image(payload: bytes) -> tuple[str, int, int]:
+    """Image header decode: real (PIL lazy open — reads the header, not the
+    pixels, so metadata extraction stays cheap even for huge assets) when
+    the codec exists and the bytes parse; deterministic stub otherwise."""
+    if _PILImage is not None:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                return (im.format or "unknown").lower(), im.width, im.height
+        except (_PILError, OSError):
+            pass  # not an image (e.g. the text-byte fixture payloads)
+    return _stub_decode_image(payload)
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -55,7 +79,7 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         fmts, ws, hs, shas = [], [], [], []
         for payload in pdf["media"]:
-            fmt, w, h = _stub_decode_image(payload)
+            fmt, w, h = _decode_image(payload)
             fmts.append(fmt)
             ws.append(w)
             hs.append(h)
@@ -72,7 +96,7 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("mm_decode_meta")  # rows-only: decode is a documented stub
+@query("mm_decode_meta")  # rows-only: decode falls back to stub w/o codec
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → typed metadata via mapInPandas.
 
@@ -126,7 +150,7 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-            _, w, h = _stub_decode_image(payload)
+            _, w, h = _decode_image(payload)
             scale = _TARGET_EDGE / min(w, h)
             nw, nh = round(w * scale), round(h * scale)
             # STUB: a real impl emits re-encoded bytes; we emit the size a
@@ -141,7 +165,7 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("mm_resize")  # rows-only: geometry from the stubbed decoder
+@query("mm_resize")  # rows-only: geometry via _decode_image (stub w/o codec)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shortest-edge-224 resize planning over binary assets via mapInPandas
     (the preprocessing step in front of any vision encoder)."""

@@ -177,3 +177,25 @@ def test_new_analytics_invariants(spark, sf_dir):
     ev_total = load_table(spark, sf_dir, "events").count()
     for r in QUERIES["agg_heavy_hitters"](spark, sf_dir).collect():
         assert r.n_events * 200 > ev_total
+
+
+def test_multimodal_decode_paths():
+    """_decode_image: real PIL path when the codec exists, deterministic
+    stub fallback when it doesn't or the bytes aren't an image."""
+    from luxor_db_spark.sources.multimodal import (
+        _PILImage,
+        _decode_image,
+        _stub_decode_image,
+    )
+
+    text_bytes = b"not an image at all"
+    # Fallback is deterministic across calls/processes (md5-derived).
+    assert _decode_image(text_bytes) == _stub_decode_image(text_bytes)
+    assert _stub_decode_image(text_bytes) == _stub_decode_image(text_bytes)
+
+    if _PILImage is not None:  # real path: a minimal valid 1x1 PNG
+        import io
+
+        buf = io.BytesIO()
+        _PILImage.new("RGB", (1, 1)).save(buf, format="PNG")
+        assert _decode_image(buf.getvalue()) == ("png", 1, 1)
