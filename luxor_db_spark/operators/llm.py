@@ -904,25 +904,31 @@ def llm_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_embed_quantize",
     oracle="""
-    SELECT vec_id,
-           CAST(list_max(list_transform(embedding,
-                x -> abs(CAST(x AS DOUBLE)))) / 127 AS DOUBLE) AS scale,
-           list_transform(embedding,
-                x -> CAST(FLOOR(CAST(x AS DOUBLE)
-                     / NULLIF(list_max(list_transform(embedding,
-                               y -> abs(CAST(y AS DOUBLE)))) / 127, 0)
-                     + 0.5) AS INT)) AS qvec
-    FROM embeddings
+    WITH ex AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT vec_id, dim,
+           CAST(FLOOR(x / NULLIF(scale, 0) + 0.5) AS INT) AS qval,
+           ROUND(scale, 6) AS scale
+    FROM ex
     """,
 )
 def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization per embedding: scale = max|x|/127,
-    qvec = floor(x/scale + 0.5) — 4× storage reduction for ANN serving.
+    qval = floor(x/scale + 0.5) — 4× storage reduction for ANN serving.
 
     floor(+0.5) instead of round(): identical IEEE-754 expression in both
     engines (ROUND's half-tie behavior is dialect-specific; floor is not).
-    Pure per-row JVM array math — no shuffle, embarrassingly parallel at
-    any corpus size.
+    Output is exploded to long form (vec_id, dim, qval, scale): the driver
+    comparator canonicalizes via pandas sort, which cannot hash raw
+    numpy-array cells — same reshaping `llm_centroids` uses. Pure per-row
+    JVM array math plus posexplode — no shuffle, embarrassingly parallel
+    at any corpus size.
     """
     e = load_table(spark, sf_dir, "embeddings")
     absmax = F.array_max(
@@ -935,7 +941,11 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             x.cast("double") / F.nullif(scale, F.lit(0.0)) + 0.5
         ).cast("int"),
     )
-    return e.select("vec_id", scale.alias("scale"), qvec.alias("qvec"))
+    return e.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.posexplode(qvec).alias("dim", "qval"),
+    ).select("vec_id", "dim", "qval", "scale")
 
 
 # --- engine-portable MinHash LSH -------------------------------------------
@@ -1325,22 +1335,26 @@ def llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_embed_norm",
     oracle="""
-    SELECT vec_id,
-           list_transform(embedding,
-             x -> ROUND(CAST(x AS DOUBLE) /
-                  sqrt(list_aggregate(list_transform(embedding,
-                       y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')),
-                  4)) AS unit_vec,
-           ROUND(sqrt(list_aggregate(list_transform(embedding,
-                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')), 4)
-               AS l2_norm
-    FROM embeddings
+    WITH ex AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x,
+             sqrt(list_aggregate(list_transform(embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS nrm
+      FROM embeddings
+    )
+    SELECT vec_id, dim, ROUND(x / nrm, 4) AS unit_val,
+           ROUND(nrm, 4) AS l2_norm
+    FROM ex
     """,
 )
 def llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization to unit vectors (the pre-ANN step that turns cosine
     into a plain dot product, halving the per-pair arithmetic in every
-    downstream similarity join). Per-row array math, no shuffle."""
+    downstream similarity join). Output exploded to long form
+    (vec_id, dim, unit_val, l2_norm) — the driver comparator cannot hash
+    raw numeric-array cells (same reshaping as `llm_centroids`). Per-row
+    array math plus posexplode, no shuffle."""
     e = load_table(spark, sf_dir, "embeddings")
     sq_sum = F.aggregate(
         F.transform("embedding", lambda y: y.cast("double") * y.cast("double")),
@@ -1352,8 +1366,10 @@ def llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", lambda x: F.round(x.cast("double") / norm, 4)
     )
     return e.select(
-        "vec_id", unit.alias("unit_vec"), F.round(norm, 4).alias("l2_norm")
-    )
+        "vec_id",
+        F.round(norm, 4).alias("l2_norm"),
+        F.posexplode(unit).alias("dim", "unit_val"),
+    ).select("vec_id", "dim", "unit_val", "l2_norm")
 
 
 @query(

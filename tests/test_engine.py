@@ -44,3 +44,29 @@ def test_schema_and_explain(eng):
     assert "l_orderkey" in s.fieldNames()
     audit = eng.explain("scan_filtered")
     assert audit.pushed_filters, "explain() should surface pushed filters"
+
+
+def test_no_oracle_key_emits_array_or_map(spark, sf_dir):
+    """Driver-comparator contract: SQL-oracle keys must emit flat scalar
+    columns only. The driver canonicalizes results via a pandas sort, and
+    pandas cannot factorize numpy-array cells — r2's agg_approx_percentile
+    and r3's llm_embed_norm/llm_embed_quantize both crashed the driver this
+    way (`TypeError: unhashable type: 'numpy.ndarray'`). Explode arrays to
+    long rows (llm_centroids pattern) or array_join to a string
+    (agg_collect pattern) instead. Rows-only keys (no oracle) are exempt:
+    the driver never canonicalizes them."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from luxor_db_spark.registry import ORACLES, load_all_queries
+
+    queries = load_all_queries()
+    offenders = []
+    for key in sorted(ORACLES):
+        df = queries[key](spark, sf_dir)  # lazy: schema only, no execution
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{key}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, (
+        "SQL-oracle keys returning driver-unhashable column types "
+        f"(explode to long form or array_join them): {offenders}"
+    )
