@@ -14,6 +14,7 @@ import os
 from types import SimpleNamespace
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
 
 from luxor_db_spark.session import configure
 
@@ -43,9 +44,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     configure(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
-        # ts arrives as raw nanos (LongType) via nanosAsLong; truncate to µs
-        # exactly like DuckDB's ns→µs read of the same file.
+    if name == "events" and isinstance(
+        df.schema["ts"].dataType, LongType
+    ):
+        # Older fixture generations wrote ts as timestamp[ns], which the
+        # nanosAsLong conf surfaces as raw nanos (LongType); truncate to µs
+        # exactly like DuckDB's ns→µs read of the same file. Current
+        # fixtures write timestamp[us] directly (TIMESTAMP_NTZ) — no
+        # conversion needed. Schema-sniffing the footer keeps both
+        # generations loadable.
         from pyspark.sql import functions as F
 
         # Integer `div` (not `/`): ns-since-epoch ≈ 1.7e18 exceeds double's

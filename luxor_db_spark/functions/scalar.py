@@ -529,7 +529,8 @@ def fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_extract(url, 'lang=([^&#]*)', 1) AS qlang
     FROM (
       SELECT doc_id,
-             'https://' || source || '.example.com/docs/'
+             'https://' || regexp_replace(lower(source), '[^a-z0-9-]', '', 'g')
+               || '.example.com/docs/'
                || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
       FROM documents
     )
@@ -544,9 +545,13 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     on well-formed absolute URLs.
     """
     d = load_table(spark, sf_dir, "documents")
+    # Hostname-sanitize `source` (lower + strip non-[a-z0-9-]) so parse_url
+    # (java.net.URI, strict) and the regex oracle agree even if fixture
+    # values ever contain hostname-illegal characters.
+    host_part = F.regexp_replace(F.lower(F.col("source")), "[^a-z0-9-]", "")
     url = F.concat(
         F.lit("https://"),
-        F.col("source"),
+        host_part,
         F.lit(".example.com/docs/"),
         F.col("doc_id").cast("string"),
         F.lit("?lang="),

@@ -165,6 +165,15 @@ def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     type, which broadcasts back onto the scan — the full table is never
     shuffled. This is the sketch-then-broadcast pattern every screening
     operator here uses.
+
+    Overflow headroom (why s2 stays wide where ts_correlation narrowed):
+    DECIMAL(18,6)^2 -> DECIMAL(37,12); both engines SUM that into a
+    DECIMAL(38,12) accumulator with 1e26 of integer headroom. With
+    per-event |value| <= 1e4 (fixture values are O(1e3)), the squared term
+    is <= 1e8, so overflow needs > 1e18 rows *per event type* — beyond the
+    100 TB target by orders of magnitude. ts_correlation narrowed because
+    its accumulator multiplies two *sums* (each already O(n·v)), squaring
+    the row-count factor; here the row-count factor is linear.
     """
     ev = load_table(spark, sf_dir, "events")
     vdec = F.col("value").cast(DEC)
@@ -513,11 +522,21 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips between engines.
 
     Scale shape: the per-customer rollup shrinks orders to entity grain
-    map-side FIRST; only then does the global-order cumsum run. A total
-    order is inherent to Pareto ranking — at entity grain (millions of
-    rows, not billions of facts) a single-partition window is fine; beyond
-    that the standard fix is range-partitioned sort + per-partition prefix
-    sums offset by a broadcast of partition totals.
+    map-side FIRST. The global-order cumsum is then a RANGE-PARTITIONED
+    PREFIX SUM, never a single task: ``repartitionByRange`` on
+    (rev DESC, o_custkey) splits the total order into contiguous ranges,
+    each partition computes its local prefix sums in parallel (window
+    keyed on the range-partition id), and a bounded O(#partitions)
+    per-partition-totals table — the only single-partition window, over
+    ~32 rows — supplies the cross-partition offsets and grand total via
+    broadcast joins. Wall-clock scales with 1/#partitions instead of
+    serializing all entities through one window task.
+
+    Determinism: range-partition *bounds* come from sampling, but results
+    are invariant to where bounds fall — local run + exact-DECIMAL offset
+    equals the global prefix sum for any split of a strict total order
+    (o_custkey is unique at entity grain, so ties cannot straddle a
+    boundary ambiguously).
     """
     o = load_table(spark, sf_dir, "orders")
     r = o.groupBy("o_custkey").agg(
@@ -525,15 +544,49 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,2)")
         .alias("rev")
     )
-    wo = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
-    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.partitionBy()
-    w = r.select(
+    npart = 32
+    part = r.repartitionByRange(
+        npart, F.col("rev").desc(), F.col("o_custkey")
+    ).withColumn("pid", F.spark_partition_id())
+
+    # Local prefix sums: one window task per range partition, in parallel.
+    wloc = Window.partitionBy("pid").orderBy(
+        F.col("rev").desc(), F.col("o_custkey")
+    )
+    wrun = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    loc = part.select(
         "o_custkey",
         "rev",
-        F.sum("rev").over(wrun).alias("run"),
-        F.sum("rev").over(wall).alias("tot"),
-        F.row_number().over(wo).alias("rk"),
+        "pid",
+        F.sum("rev").over(wrun).alias("lrun"),
+        F.row_number().over(wloc).alias("lrk"),
+    )
+
+    # Per-partition totals: O(#partitions) rows. The cumulative-offset
+    # window below is single-partition but bounded (≤ npart rows).
+    ptot = part.groupBy("pid").agg(
+        F.sum("rev").alias("psum"), F.count(F.lit(1)).alias("pcnt")
+    )
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = ptot.select(
+        "pid",
+        F.coalesce(F.sum("psum").over(woff), F.lit(0).cast("decimal(38,2)"))
+        .alias("sum_off"),
+        F.coalesce(F.sum("pcnt").over(woff), F.lit(0).cast("bigint"))
+        .alias("cnt_off"),
+    )
+    tot = ptot.agg(F.sum("psum").alias("tot"))  # exactly one row
+
+    w = (
+        loc.join(F.broadcast(off), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "rev",
+            (F.col("lrun") + F.col("sum_off")).alias("run"),
+            (F.col("lrk") + F.col("cnt_off")).cast("int").alias("rk"),
+            "tot",
+        )
     )
     share = F.col("run").cast("double") / F.col("tot").cast("double")
     return w.filter(share <= 0.8).select(

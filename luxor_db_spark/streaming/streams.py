@@ -29,30 +29,39 @@ from luxor_db_spark.registry import query
 
 _SINK_IDS = itertools.count()
 
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a Structured Streaming file source (ns→µs ts)."""
+    """events.parquet as a Structured Streaming file source.
+
+    readStream requires a user-supplied schema; rather than hardcode one,
+    sniff the Parquet footer with a (lazy, footer-only) batch read so both
+    fixture generations load: older ones wrote ts as timestamp[ns]
+    (surfaced as raw-nanos LongType under nanosAsLong → converted to µs
+    here, matching DuckDB's ns→µs read), current ones write timestamp[us]
+    (TIMESTAMP_NTZ) directly.
+    """
+    import os
+
     from luxor_db_spark.session import configure
 
     configure(spark)
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        # Watermarks/event-time ops require TIMESTAMP, not TIMESTAMP_NTZ
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session timezone is
+        # pinned UTC (session.configure), so this cast maps wall-clock to
+        # the identical instant.
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def _drain(df: DataFrame, key: str, mode: str) -> DataFrame:
@@ -384,9 +393,11 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.copyfile(table_path(sf_dir, "events"), f"{src}/f1.parquet")
 
+    src_schema = spark.read.parquet(f"{src}/f1.parquet").schema
+
     def run_once() -> None:
         raw = (
-            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+            spark.readStream.schema(src_schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
             .select("event_id", "user_id", "value")

@@ -70,3 +70,34 @@ def test_no_oracle_key_emits_array_or_map(spark, sf_dir):
         "SQL-oracle keys returning driver-unhashable column types "
         f"(explode to long form or array_join them): {offenders}"
     )
+
+
+def test_doc_counts_match_registry():
+    """README.md and SURVEY.md state registry totals ("N operator keys
+    (M with ... SQL oracles)" / "N keys, M SQL oracles"); round-3 ADVICE
+    flagged them drifting three ways. Pin both to registry.py so any growth
+    in the registry forces the docs update in the same commit."""
+    import re
+    from pathlib import Path
+
+    from luxor_db_spark.registry import ORACLES, load_all_queries
+
+    n_keys = len(load_all_queries())
+    n_oracles = len(ORACLES)
+    root = Path(__file__).resolve().parent.parent
+
+    readme = (root / "README.md").read_text()
+    m = re.search(r"(\d+) operator keys \((\d+) with", readme)
+    assert m, "README.md lost its registry-totals sentence"
+    assert (int(m.group(1)), int(m.group(2))) == (n_keys, n_oracles), (
+        f"README.md says {m.group(1)}/{m.group(2)} but registry has "
+        f"{n_keys} keys / {n_oracles} oracles — update README.md"
+    )
+
+    survey = (root / "SURVEY.md").read_text()
+    m = re.search(r"\*\*(\d+) keys, (\d+) SQL oracles\*\*", survey)
+    assert m, "SURVEY.md lost its registry-totals sentence"
+    assert (int(m.group(1)), int(m.group(2))) == (n_keys, n_oracles), (
+        f"SURVEY.md says {m.group(1)}/{m.group(2)} but registry has "
+        f"{n_keys} keys / {n_oracles} oracles — update SURVEY.md"
+    )

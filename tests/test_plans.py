@@ -263,3 +263,27 @@ def test_bm25_broadcasts_small_sides(audit):
     assert a.n_broadcast_joins + a.n_nested_loop_joins >= 2, (
         f"df/stats not broadcast:\n{a.text}"
     )
+
+
+def test_pareto_prefix_sum_is_range_partitioned(audit):
+    """win_pareto's global-order cumsum must be the two-level prefix sum:
+    entity rows flow through a range partitioner and a window keyed on the
+    range-partition id (parallel), never through an unpartitioned window.
+    The only windowspec allowed to order by rev without a pid partition key
+    would be the old single-task shape — assert it is gone. The bounded
+    offsets window (≤ npart rows, ordered by pid) is exempt: it never
+    touches entity-grain data."""
+    import re
+
+    a = audit("win_pareto")
+    assert "rangepartitioning(rev" in a.text, (
+        "expected repartitionByRange on rev in the plan"
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", a.text)
+    rev_specs = [s for s in specs if "rev#" in s]
+    assert rev_specs, "expected a window over rev"
+    for s in rev_specs:
+        assert s.lstrip().startswith("pid#"), (
+            f"window over rev is not partitioned by pid (single-task "
+            f"global window reintroduced): windowspecdefinition({s}"
+        )
