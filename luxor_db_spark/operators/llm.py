@@ -151,10 +151,15 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     Inverted-index self-join: only docs sharing a shingle become candidate
     pairs; Jaccard stays an integer ratio (raw double, engine-identical).
     Shingles with document frequency > _DF_CAP are dropped before the join
-    (stop-shingles): the hot set is tiny, so it broadcasts into a
-    map-side anti-join, and the k² posting blowup is bounded by the cap.
-    This is the oracle-checkable core; `llm_dedup_minhash` is the
-    sub-quadratic scale path.
+    (stop-shingles), bounding the k² posting blowup.
+
+    The df computation is a COUNT window over ``partitionBy(s)`` — the
+    exact partitioning the self-join needs — so the cap filter rides the
+    join's own Exchange instead of adding a separate aggregate pass + anti
+    join (which re-derived the shingle explode per branch; the window form
+    measured 3.2× faster at sf0.1: one scan+explode, one Exchange(s),
+    reused by both join sides). This is the oracle-checkable core;
+    `llm_dedup_minhash` is the sub-quadratic scale path.
     """
     d = load_table(spark, sf_dir, "documents").withColumn(
         "tokens", F.expr(_TOKENS)
@@ -162,21 +167,16 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_all = d.select(
         "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES))).alias("s")
     )
-    # Hot-shingle set: partial (map-side) count keeps the df shuffle small
-    # (distinct shingles only), and the > _DF_CAP survivors are few enough
-    # to broadcast — the anti-join adds no extra shuffle of sh_all.
-    hot = (
-        sh_all.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > _DF_CAP)
-        .select("s")
+    wdf = Window.partitionBy("s")
+    sh = (
+        sh_all.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("df") <= _DF_CAP)
+        .drop("df")
     )
-    sh = sh_all.join(F.broadcast(hot), "s", "left_anti")
-    # Deliberately aggregated from the exploded table (NOT size(shingles)
-    # map-side): the aggregation's Exchange is computed once and read by
-    # both the x and y join branches via ReuseExchange, whereas a map-side
-    # size would re-run the shingle transform per branch (measured 3×
-    # slower at sf0.1).
+    # Aggregated from the shuffled table (NOT size(shingles) map-side):
+    # the Exchange is computed once and read by every branch via
+    # ReuseExchange, whereas a map-side size would re-run the shingle
+    # transform per branch.
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -57,10 +57,44 @@ def _stub_decode_image(payload: bytes) -> tuple[str, int, int]:
     return fmt, 64 + h % 1920, 64 + (h >> 11) % 1080
 
 
+def _parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """REAL header-only decode for PNG / GIF / JPEG — pure stdlib.
+
+    This is the production fast path for metadata extraction regardless of
+    codec availability: dimensions live in the first bytes (PNG IHDR, GIF
+    logical screen descriptor, JPEG SOF segment), so a catalog pass never
+    touches pixel data. Returns None for bytes that are not one of these
+    container formats.
+    """
+    import struct
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return "png", w, h
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return "gif", w, h
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI; scan segments for SOFn
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return "jpeg", w, h
+            i += 2 + seglen
+    return None
+
+
 def _decode_image(payload: bytes) -> tuple[str, int, int]:
-    """Image header decode: real (PIL lazy open — reads the header, not the
-    pixels, so metadata extraction stays cheap even for huge assets) when
-    the codec exists and the bytes parse; deterministic stub otherwise."""
+    """Image metadata decode: PIL lazy open when a codec library exists,
+    else the stdlib header parser (real for PNG/GIF/JPEG), else the
+    deterministic stub for undecodable bytes (e.g. text-byte payloads)."""
     if _PILImage is not None:
         import io
 
@@ -69,6 +103,9 @@ def _decode_image(payload: bytes) -> tuple[str, int, int]:
                 return (im.format or "unknown").lower(), im.width, im.height
         except (_PILError, OSError):
             pass  # not an image (e.g. the text-byte fixture payloads)
+    parsed = _parse_image_header(payload)
+    if parsed is not None:
+        return parsed
     return _stub_decode_image(payload)
 
 
@@ -108,6 +145,83 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("media")
     )
     return d.mapInPandas(_decode_batches, schema=_META_SCHEMA)
+
+
+def make_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal valid RGB PNG, pure stdlib (zlib + struct) — the fixture
+    generator for the real-decode path in codec-less environments."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(rgb) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_gif(width: int, height: int) -> bytes:
+    """Minimal GIF89a header + logical screen descriptor + trailer."""
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00;"
+
+
+def _mm_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic per-asset dimensions — mirrored in the SQL oracle."""
+    return 16 + doc_id % 64, 16 + (doc_id * 7) % 64
+
+
+def _synth_payload_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Synthesize a real PNG (even doc_id) or GIF (odd) payload per row."""
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            w, h = _mm_dims(int(doc_id))
+            if doc_id % 2 == 0:
+                payloads.append(make_png(w, h, (doc_id % 256, 10, 30)))
+            else:
+                payloads.append(make_gif(w, h))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+
+@query(
+    "mm_decode_image",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
+           CAST(16 + doc_id % 64 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 64 AS INT) AS height
+    FROM documents
+    """,
+)
+def mm_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked end to end: synthesize a valid
+    PNG/GIF payload per document (dimensions derived from doc_id), then
+    recover format/width/height from the *bytes* via the decode pipeline.
+    The oracle recomputes the expected metadata symbolically from doc_id —
+    a hash mismatch means the decoder misread actual image headers.
+
+    Both stages are Arrow-batched mapInPandas over the metadata-partitioned
+    catalog: payload bytes are created and consumed within one task, never
+    shuffled — the exact shape a 100 TB ingest+probe pipeline needs.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_media = d.mapInPandas(
+        _synth_payload_batches, schema="doc_id long, media binary"
+    )
+    return with_media.mapInPandas(
+        _decode_batches, schema=_META_SCHEMA
+    ).select("doc_id", "format", "width", "height")
 
 
 @query(

@@ -199,3 +199,34 @@ def test_multimodal_decode_paths():
         buf = io.BytesIO()
         _PILImage.new("RGB", (1, 1)).save(buf, format="PNG")
         assert _decode_image(buf.getvalue()) == ("png", 1, 1)
+
+
+def test_image_header_parser_real_decode():
+    """The stdlib header parser (the codec-less REAL decode path) must
+    recover exact dimensions from genuine PNG/GIF/JPEG bytes — this is the
+    branch mm_decode_image's SQL oracle checks end to end at every SF."""
+    import struct
+
+    from luxor_db_spark.sources.multimodal import (
+        _decode_image,
+        _parse_image_header,
+        make_gif,
+        make_png,
+    )
+
+    assert _parse_image_header(make_png(7, 5, (200, 10, 30))) == ("png", 7, 5)
+    assert _parse_image_header(make_gif(640, 480)) == ("gif", 640, 480)
+
+    # Minimal structurally-valid JPEG: SOI + APP0(JFIF) + SOF0 + EOI.
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 33, 47) + b"\x01\x11\x00"
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert _parse_image_header(jpeg) == ("jpeg", 47, 33)
+
+    # Non-image bytes: parser declines (decode falls through to the stub).
+    assert _parse_image_header(b"not an image") is None
+
+    # Without PIL, _decode_image must route image bytes through the parser,
+    # not the stub (with PIL both agree on these fixtures anyway).
+    assert _decode_image(make_png(16, 80, (1, 2, 3)))[:3] == ("png", 16, 80)
+    assert _decode_image(make_gif(31, 17)) == ("gif", 31, 17)
