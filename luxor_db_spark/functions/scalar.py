@@ -564,3 +564,68 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("qlang"),
     )
+
+
+def _spread_bits_spark(c):
+    """Interleave-ready bit spread: 16-bit int -> even bit positions of a
+    32-bit word (the classic Morton magic-number cascade)."""
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+def _spread_bits_duck(expr: str) -> str:
+    s = expr
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                        (2, 0x33333333), (1, 0x55555555)):
+        s = f"(({s}) | (({s}) << {shift})) & {mask}"
+    return s
+
+
+@query(
+    "fn_zorder",
+    oracle=f"""
+    WITH k AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 65536 AS BIGINT) AS x,
+             CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 65536
+                  AS BIGINT) AS y
+      FROM orders
+    )
+    SELECT o_orderkey, x, y,
+           CAST(({_spread_bits_duck("x")})
+                | (({_spread_bits_duck("y")}) << 1) AS BIGINT) AS zval
+    FROM k
+    """,
+)
+def fn_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve value: bit-interleave two 16-bit key
+    components into one locality-preserving sort key — the data-layout
+    primitive behind multi-dimensional clustering (Delta/Iceberg OPTIMIZE
+    ZORDER): rows close in (customer, order-day) space land in the same
+    Parquet row groups, so min/max stats prune scans on EITHER dimension.
+
+    Pure integer bit arithmetic (shift/and/or magic-number cascade) —
+    bit-identical everywhere, fully JVM-side. To actually lay data out,
+    feed this through ``repartitionByRange(zval)`` + sorted write (see
+    sink_partitioned / sink_bucketed for the write plumbing).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    k = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).cast("bigint").alias("x"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+            % 65536
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    z = (
+        _spread_bits_spark(F.col("x"))
+        .bitwiseOR(F.shiftleft(_spread_bits_spark(F.col("y")), 1))
+        .cast("bigint")
+    )
+    return k.select("o_orderkey", "x", "y", z.alias("zval"))

@@ -518,3 +518,90 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") * 200 > F.col("total"))
         .select("user_id", F.col("n").alias("n_events"))
     )
+
+
+@query(
+    "agg_skew_kurt",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS DECIMAL(19,0)) AS c
+      FROM events
+    ),
+    p AS (
+      SELECT event_type, c,
+             CAST(c * c AS DECIMAL(38,0)) AS c2
+      FROM c
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(c) AS s1,
+             SUM(c2) AS s2,
+             SUM(CAST(c2 * c AS DECIMAL(38,0))) AS s3,
+             SUM(CAST(c2 * c2 AS DECIMAL(38,0))) AS s4
+      FROM p GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(
+             (CAST(s3 AS DOUBLE)/n
+              - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+              + 2*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)
+                  *(CAST(s1 AS DOUBLE)/n))
+             / POW(CAST(s2 AS DOUBLE)/n
+                   - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 1.5),
+             4) AS skewness,
+           ROUND(
+             (CAST(s4 AS DOUBLE)/n
+              - 4*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
+              + 6*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)
+                  *(CAST(s2 AS DOUBLE)/n)
+              - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)
+                  *(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+             / POW(CAST(s2 AS DOUBLE)/n
+                   - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 2)
+             - 3,
+             4) AS kurtosis
+    FROM s
+    """,
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group, from exact
+    scaled-integer sufficient statistics — the 3rd/4th-moment shape
+    profile a data-quality monitor runs over every numeric column.
+
+    Built-in skewness/kurtosis are float-accumulated (partition-order
+    dependent) and differ in population/sample convention between engines,
+    so this computes raw moments s1..s4 over exact integer *cents*
+    (value rounded to DECIMAL(14,2), ×100 — the scale cancels in both
+    dimensionless ratios) and assembles the central moments in double with
+    identical expression shape on both sides. Headroom: fixture values are
+    O(1e3) → c⁴ ≤ 1e20, so the DECIMAL(38,0) accumulator overflows only
+    past ~1e18 rows per group.
+
+    Scale shape: one map-side-combinable aggregate — 5 numbers per group
+    shuffle, nothing else.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = (F.col("value").cast("decimal(14,2)") * 100).cast("decimal(19,0)")
+    c2 = (c * c).cast("decimal(38,0)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c2).alias("s2"),
+        F.sum((c2 * c).cast("decimal(38,0)")).alias("s3"),
+        F.sum((c2 * c2).cast("decimal(38,0)")).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    var = r2 - m1 * m1
+    m3 = r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1
+    m4 = r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1
+    return s.select(
+        "event_type",
+        "n",
+        F.round(m3 / F.pow(var, 1.5), 4).alias("skewness"),
+        F.round(m4 / F.pow(var, 2.0) - 3, 4).alias("kurtosis"),
+    )

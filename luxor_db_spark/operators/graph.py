@@ -1,0 +1,132 @@
+"""Graph analytics over relational data (SURVEY.md §2 extension).
+
+Reference status: absent (reference ``Main.java:1-7`` only). The pattern
+here is the one large-scale graph analytics on Spark actually uses:
+*derive* the graph from relational facts with ordinary joins (the
+scale-relevant part — edge construction dominates cost at 100 TB), then
+iterate on the much smaller node/edge grain.
+
+Related: `llm_dedup_cluster` (operators/llm.py) is the other iterative
+graph operator (connected components via min-label propagation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from luxor_db_spark.catalog import load_table
+from luxor_db_spark.registry import query
+
+_D = 0.85  # damping
+_N_ITER = 3  # fixed, unrolled in both engines
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 3-iteration PageRank as chained CTEs (DuckDB mirror)."""
+    its = []
+    prev = "r0"
+    for k in range(1, _N_ITER + 1):
+        its.append(f"""
+    c{k} AS (
+      SELECT e.dst,
+             SUM(CAST(ROUND(e.w * {prev}.r / o.outw, 12)
+                      AS DECIMAL(28,12))) AS contrib
+      FROM edges e JOIN outw o ON e.src = o.src
+                   JOIN {prev} ON e.src = {prev}.node
+      GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT n.node,
+             ROUND(0.15 / 25 + 0.85 * CAST(COALESCE(c{k}.contrib, 0)
+                                           AS DOUBLE), 12) AS r
+      FROM nodes n LEFT JOIN c{k} ON n.node = c{k}.dst
+    )""")
+        prev = f"r{k}"
+    return f"""
+    WITH edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY src, dst
+    ),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / 25 AS r FROM nodes),
+    {",".join(its)}
+    SELECT node AS nation_key, ROUND(r, 6) AS pagerank
+    FROM {prev}
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-to-nation trade graph: an edge src→dst
+    weighted by how many lineitems customers of nation src bought from
+    suppliers of nation dst; 3 damped iterations (d=0.85) from uniform.
+
+    Determinism across engines and partitionings: edge weights and
+    out-degrees are exact integers; each contribution w·r/outw is one
+    double expression of deterministic inputs, immediately ROUNDed to 12
+    decimals and cast to DECIMAL(28,12), so the per-node SUM is exact and
+    order-independent; the new rank re-rounds at 12. Dangling nations (no
+    outgoing trade) leak their mass — the standard simplification, applied
+    identically on both sides.
+
+    Scale shape: edge derivation is the 100 TB part — a fact-table join
+    pipeline whose dimensions (customer/supplier nation keys) broadcast;
+    the output collapses to ≤ |nations|² weighted edges. The iteration
+    then runs on that tiny grain (both sides of every iteration join are
+    broadcast), so 3 rounds add no full-data pass. For graphs whose EDGE
+    set is itself huge, the same loop holds with shuffle joins partitioned
+    by src — contributions stay (dst, decimal) pairs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            cust.c_nationkey.alias("src"), supp.s_nationkey.alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+
+    r = nodes.select("node", (F.lit(1.0) / 25).alias("r"))
+    for _ in range(_N_ITER):
+        contrib = (
+            edges.join(F.broadcast(outw), "src")
+            .join(F.broadcast(r), edges.src == F.col("node"))
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("w") * F.col("r") / F.col("outw"), 12
+                    ).cast("decimal(28,12)")
+                ).alias("contrib")
+            )
+        )
+        r = nodes.join(
+            F.broadcast(contrib), nodes.node == F.col("dst"), "left"
+        ).select(
+            "node",
+            F.round(
+                0.15 / 25
+                + 0.85
+                * F.coalesce(F.col("contrib"), F.lit(0)).cast("double"),
+                12,
+            ).alias("r"),
+        )
+    return r.select(
+        F.col("node").alias("nation_key"), F.round("r", 6).alias("pagerank")
+    )

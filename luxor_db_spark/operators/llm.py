@@ -1658,3 +1658,253 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s"), 4).alias("bm25"),
         )
     )
+
+
+# --- RAG / SFT prep: chunking, winnowing, canonical-URL dedup, templating ---
+
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_S = 48  # stride (overlap = _CHUNK_W - _CHUNK_S = 16 tokens)
+
+
+@query(
+    "llm_chunk_overlap",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS tok,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {_CHUNK_S} AS INT) AS chunk_id,
+           CAST(start AS INT) AS start_tok,
+           CAST(len(list_slice(tok, start, start + {_CHUNK_W} - 1)) AS INT)
+             AS n_tokens,
+           md5(array_to_string(
+                 list_slice(tok, start, start + {_CHUNK_W} - 1), ' '))
+             AS chunk_md5
+    FROM d, unnest(generate_series(1, greatest(n, 1), {_CHUNK_S})) AS t(start)
+    """,
+)
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with overlap (the RAG/embedding prep
+    step): 64-token chunks every 48 tokens, so consecutive chunks share a
+    16-token overlap and no sentence is orphaned at a boundary.
+
+    Emits (doc_id, chunk_id, start_tok, n_tokens, chunk_md5) — the md5
+    stands in for the chunk payload so the result stays narrow; a real
+    pipeline would carry the text slice to the embedder.
+
+    Scale shape: pure per-row JVM transform (sequence → explode → slice) —
+    no shuffle at all; chunking parallelizes perfectly with the scan and
+    output size is rows × ceil(n_tok/stride), linear in corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("tok"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.col("n"), F.lit(1)), F.lit(_CHUNK_S)
+            )
+        ).alias("start"),
+        "tok",
+    )
+    sl = F.slice(F.col("tok"), F.col("start"), F.lit(_CHUNK_W))
+    return ch.select(
+        "doc_id",
+        ((F.col("start") - 1) / _CHUNK_S).cast("int").alias("chunk_id"),
+        F.col("start").cast("int").alias("start_tok"),
+        F.size(sl).cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", sl)).alias("chunk_md5"),
+    )
+
+
+# Winnowing window (Schleimer/Wilkerson/Aiken, SIGMOD'03): from every run
+# of _WINNOW_W consecutive shingle hashes, keep the minimum. Guarantees a
+# shared fingerprint for any match of length >= w + shingle span while
+# storing ~2/(w+1) of all hashes. Partial leading windows are included
+# (frame "3 PRECEDING" clamps at the partition start), so docs with < w
+# shingles still fingerprint; only the distinct selected values matter.
+_WINNOW_W = 4
+
+
+@query(
+    "llm_winnow_fingerprint",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i, sh[i] AS s
+      FROM d, unnest(generate_series(1, len(sh))) AS t(i)
+    ),
+    h AS (
+      SELECT doc_id, i,
+             CAST({{h16}} AS BIGINT) AS hv
+      FROM pos
+    ),
+    sel AS (
+      SELECT doc_id,
+             MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN {_WINNOW_W - 1} PRECEDING
+                           AND CURRENT ROW) AS fp
+      FROM h
+    )
+    SELECT DISTINCT doc_id, fp FROM sel
+    """.format(
+        h16=" + ".join(
+            f"({_HEXD_SQL.format(x='s', i=i)}) * {16 ** (4 - i)}"
+            for i in range(1, 5)
+        )
+    ),
+)
+def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints — the MOSS scheme: hash every 3-word
+    shingle, slide a w=4 window over the hash sequence, keep each window's
+    minimum, emit the distinct selected values per document.
+
+    Compared to `llm_fingerprint` (one hash per doc) this is the
+    *local* fingerprint set that detects partial overlap/plagiarism:
+    any shared run long enough to cover a full window is guaranteed to
+    contribute at least one common fingerprint.
+
+    Portability: hashes are the first 4 md5 hex digits (16-bit), identical
+    in both engines via ascii arithmetic — no engine-private hash.
+
+    Scale shape: posexplode + one (doc_id)-partitioned window + distinct —
+    a single shuffle on doc_id, then fingerprints (8 bytes each, ~2/(w+1)
+    of the shingle count) are all that ever leaves the document.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", F.expr(_TOKENS)
+    )
+    pos = d.select(
+        "doc_id", F.posexplode(F.expr(_SHINGLES)).alias("i", "s")
+    )
+    h = pos.select(
+        "doc_id", "i", _tok16_col(F.md5("s")).cast("bigint").alias("hv")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(_WINNOW_W - 1), 0)
+    )
+    return (
+        h.select("doc_id", F.min("hv").over(w).alias("fp"))
+        .distinct()
+    )
+
+
+@query(
+    "llm_url_dedup",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || regexp_replace(lower(source), '[^a-z0-9-]', '', 'g')
+               || '.example.com/page/' || CAST(doc_id % 100 AS VARCHAR)
+               || '?utm_source=' || source
+               || '&id=' || CAST(doc_id AS VARCHAR)
+               || '&lang=' || lang AS url
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(url, '(utm_[a-z]+|id)=[^&#]*&?', '', 'g'),
+               '[?&]$', '') AS canon
+      FROM u
+    )
+    SELECT canon, MIN(doc_id) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dupes
+    FROM c GROUP BY canon
+    """,
+)
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the first dedup pass of any web-corpus
+    pipeline: strip volatile query params (utm_* tracking, per-crawl ids),
+    collapse to the canonical URL, keep the lowest doc_id per group.
+
+    URLs are synthesized from fixture columns with deliberate collisions
+    (path = doc_id % 100) plus volatile params that differ per crawl —
+    canonicalization must remove exactly the volatile parts. Emits
+    (canon, keeper_doc_id, n_dupes).
+
+    Scale shape: one shuffle of (canon, doc_id) pairs — canonicalization is
+    per-row JVM regex; page content never moves.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.regexp_replace(F.lower(F.col("source")), "[^a-z0-9-]", ""),
+        F.lit(".example.com/page/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("?utm_source="),
+        F.col("source"),
+        F.lit("&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&lang="),
+        F.col("lang"),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(url, r"(utm_[a-z]+|id)=[^&#]*&?", ""),
+        r"[?&]$",
+        "",
+    )
+    return (
+        d.select("doc_id", canon.alias("canon"))
+        .groupBy("canon")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dupes"),
+        )
+    )
+
+
+@query(
+    "llm_instruction_format",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             array_to_string(
+               list_slice(string_split(text, ' '), 1, 40), ' ') AS excerpt
+      FROM documents
+    )
+    SELECT doc_id,
+           '### Instruction:' || chr(10) || 'Summarize the following ' || lang
+             || ' document.' || chr(10) || chr(10) || '### Input:' || chr(10)
+             || excerpt
+             || chr(10) || chr(10) || '### Response:' AS prompt_head,
+           CAST(length('### Instruction:' || chr(10)
+             || 'Summarize the following ' || lang
+             || ' document.' || chr(10) || chr(10) || '### Input:' || chr(10)
+             || excerpt
+             || chr(10) || chr(10) || '### Response:') AS INT)
+             AS n_prompt_chars
+    FROM t
+    """,
+)
+def llm_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT prompt templating: wrap each document excerpt (first 40 tokens)
+    in an Alpaca-style instruction template — the deterministic string
+    assembly step between corpus curation and tokenization.
+
+    Scale shape: pure per-row JVM string ops, zero shuffle; the template
+    adds O(1) bytes per row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    excerpt = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 40))
+    prompt = F.concat(
+        F.lit("### Instruction:\nSummarize the following "),
+        F.col("lang"),
+        F.lit(" document.\n\n### Input:\n"),
+        excerpt,
+        F.lit("\n\n### Response:"),
+    )
+    return d.select(
+        "doc_id",
+        prompt.alias("prompt_head"),
+        F.length(prompt).cast("int").alias("n_prompt_chars"),
+    )

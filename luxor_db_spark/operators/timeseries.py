@@ -626,3 +626,127 @@ def ts_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
         )
     )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, COUNT(value) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s1
+      FROM events GROUP BY event_type
+    ),
+    c AS (
+      SELECT e.event_type, e.ts, e.event_id,
+             SUM(CAST(e.value AS DECIMAL(18,6)) * s.n - s.s1)
+               OVER (PARTITION BY e.event_type
+                     ORDER BY e.ts, e.event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cusum_n
+      FROM events e JOIN s USING (event_type)
+    ),
+    r AS (
+      SELECT event_type, ts, event_id, cusum_n,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY ABS(CAST(cusum_n AS DOUBLE)) DESC, ts, event_id)
+               AS rk,
+             n FROM c JOIN s USING (event_type)
+    )
+    SELECT event_type, ts AS change_ts,
+           ROUND(ABS(CAST(cusum_n AS DOUBLE)) / n, 4) AS max_cusum
+    FROM r WHERE rk = 1
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection: per event type, the running cumulative
+    sum of deviations from the series mean peaks (in absolute value) at the
+    most likely mean-shift point — the classic Page/CUSUM estimator.
+
+    Exactness: the deviation (value − mean) is a ratio, so the cumsum is
+    kept in *scaled-integer* form: Σ(n·value − s1) over exact DECIMALs
+    equals n·Σ(value − mean) with no division until the final report —
+    bit-identical across engines and partitionings. The argmax row is
+    picked by (|cusum| DESC, ts, event_id), fully deterministic.
+
+    Scale shape: the per-type sufficient stats (n, s1) map-side-combine to
+    one row per type and broadcast back onto the scan (same
+    sketch-then-broadcast shape as ts_anomaly); the running sum partitions
+    by event_type — one shuffle of the events projection, no self-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast(DEC)
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"), F.sum(vdec).alias("s1")
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = j.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "n",
+        F.sum(vdec * F.col("n") - F.col("s1")).over(wrun).alias("cusum_n"),
+    )
+    wrk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_n").cast("double")).desc(), "ts", "event_id"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("change_ts"),
+            F.round(
+                F.abs(F.col("cusum_n").cast("double")) / F.col("n"), 4
+            ).alias("max_cusum"),
+        )
+    )
+
+
+@query(
+    "win_moving_median",
+    oracle="""
+    SELECT event_type, ts, event_id,
+           ROUND(median(value) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+    FROM events
+    """,
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing 7-observation moving median per series — the robust
+    smoother (median filters ignore outliers that wreck moving averages).
+
+    Spark has no exact windowed median, so the frame is materialized as a
+    sorted array (≤ 7 doubles) and the median picked positionally —
+    interpolating the two middle elements for even counts, exactly
+    DuckDB's `median` semantics for DOUBLE. The frame array is bounded (7
+    elements) so this stays O(1) memory per row; both engines see the same
+    doubles, and ROUND(·,4) guards the one even-count midpoint addition.
+
+    Scale shape: one window sort per event_type — identical cost to any
+    trailing-frame aggregate; nothing beyond the 7-element arrays is ever
+    buffered.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    med = F.when(n % 2 == 1, mid_hi).otherwise((mid_lo + mid_hi) / 2.0)
+    return ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(med, 4).alias("med7"),
+    )

@@ -55,6 +55,7 @@ def load_all_queries() -> dict[str, Callable]:
             udfs,  # §2.10
             llm,  # §2.11
             workloads,  # composite TPC-H-shaped reports
+            graph,  # graph analytics derived from relational facts
         )
         from luxor_db_spark.functions import scalar  # noqa: F401  (§2.8)
         from luxor_db_spark.streaming import streams  # noqa: F401  (§2.9)

@@ -287,3 +287,51 @@ def test_pareto_prefix_sum_is_range_partitioned(audit):
             f"window over rev is not partitioned by pid (single-task "
             f"global window reintroduced): windowspecdefinition({s}"
         )
+
+
+def test_chunk_and_template_are_shuffle_free(audit):
+    """Per-row prep operators (RAG chunking, SFT templating) must compile
+    to pure map plans — zero Exchange; they parallelize with the scan."""
+    for key in ("llm_chunk_overlap", "llm_instruction_format"):
+        a = audit(key)
+        assert a.n_exchanges == 0, (
+            f"{key}: expected a shuffle-free map plan, "
+            f"found {a.n_exchanges} Exchange(s)"
+        )
+
+
+def test_winnow_single_doc_shuffle(audit):
+    """Winnowing is one doc_id-partitioned window + distinct: the window
+    shuffle plus the distinct's re-aggregation — nothing proportional to
+    the shingle explosion beyond those."""
+    a = audit("llm_winnow_fingerprint")
+    assert a.n_exchanges <= 2, (
+        f"expected ≤2 Exchanges (window + distinct), found {a.n_exchanges}"
+    )
+
+
+def test_cusum_stats_broadcast_back(audit):
+    """ts_cusum_changepoint must broadcast the per-type sufficient stats
+    onto the scan (sketch-then-broadcast), never shuffle events to join
+    them."""
+    a = audit("ts_cusum_changepoint")
+    a.assert_broadcasts(at_least=1)
+    a.assert_no_cartesian()
+
+
+def test_pagerank_iterations_broadcast(audit):
+    """graph_pagerank: every iteration joins on ≤25-node relations — all
+    broadcast; the only shuffles belong to the edge-derivation aggregate.
+    Dimension lookups (customer/supplier) broadcast too."""
+    a = audit("graph_pagerank")
+    a.assert_no_cartesian()
+    assert a.n_broadcast_joins >= 6, (
+        f"expected ≥6 broadcast joins (2 dims + 2 per iteration), "
+        f"found {a.n_broadcast_joins}"
+    )
+
+
+def test_zorder_is_map_only(audit):
+    """fn_zorder is pure bit arithmetic — a map-only plan."""
+    a = audit("fn_zorder")
+    assert a.n_exchanges == 0, "zorder computation must not shuffle"
