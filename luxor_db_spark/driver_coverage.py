@@ -112,6 +112,21 @@ DRIVER_CHECKED: frozenset[str] = frozenset(_LAST_GREEN_ROUND)
 # Driver window size observed in rounds 1-2.
 WINDOW_SIZE = 50
 
+# Keys added in round 4 or later. Among never-checked keys, the ones that
+# have been WAITING since earlier rounds go first — otherwise every new
+# batch of operators would push the oldest unchecked keys (the r3 fn_*/
+# stream_* tail) out of the ~50-key window indefinitely. Append each new
+# round's keys here when registering them.
+_LATE_FRESH: frozenset[str] = frozenset(
+    """
+    mm_decode_image
+    llm_chunk_overlap llm_winnow_fingerprint llm_url_dedup
+    llm_instruction_format
+    ts_cusum_changepoint win_moving_median agg_skew_kurt
+    graph_pagerank fn_zorder
+    """.split()
+)
+
 
 def coverage_order(keys: list[str]) -> list[str]:
     """Order keys for the driver: never-green first (registry order), then
@@ -124,7 +139,10 @@ def coverage_order(keys: list[str]) -> list[str]:
     instead of never (the local pytest parity mirror remains the per-commit
     regression gate; this is the driver-side backstop)."""
     order = {k: i for i, k in enumerate(keys)}
-    fresh = [k for k in keys if k not in DRIVER_CHECKED]
+    fresh = sorted(
+        (k for k in keys if k not in DRIVER_CHECKED),
+        key=lambda k: (k in _LATE_FRESH, order[k]),
+    )
     done = sorted(
         (k for k in keys if k in DRIVER_CHECKED),
         key=lambda k: (_LAST_GREEN_ROUND.get(k, 0), order[k]),

@@ -101,3 +101,32 @@ def test_doc_counts_match_registry():
         f"SURVEY.md says {m.group(1)}/{m.group(2)} but registry has "
         f"{n_keys} keys / {n_oracles} oracles — update SURVEY.md"
     )
+
+
+def test_driver_window_prioritizes_oldest_unchecked_keys():
+    """Never-driver-checked keys that have been waiting since earlier
+    rounds must head the ~50-key driver window; keys added in the current
+    round queue BEHIND them (otherwise each round's new operators would
+    starve the oldest unchecked keys out of the window forever)."""
+    from luxor_db_spark.driver_coverage import (
+        _LATE_FRESH,
+        DRIVER_CHECKED,
+        coverage_order,
+    )
+    from luxor_db_spark.registry import load_all_queries
+
+    keys = list(load_all_queries())
+    ordered = coverage_order(keys)
+    fresh = [k for k in ordered if k not in DRIVER_CHECKED]
+    seen_late = False
+    for k in fresh:
+        if k in _LATE_FRESH:
+            seen_late = True
+        else:
+            assert not seen_late, (
+                f"old unchecked key {k!r} ordered after a current-round "
+                f"addition — it would be pushed out of the driver window"
+            )
+    # Green keys still rotate to the back, staleness-first.
+    checked = [k for k in ordered if k in DRIVER_CHECKED]
+    assert ordered[: len(fresh)] == fresh and ordered[len(fresh):] == checked
