@@ -124,6 +124,8 @@ _LATE_FRESH: frozenset[str] = frozenset(
     llm_instruction_format
     ts_cusum_changepoint win_moving_median agg_skew_kurt
     graph_pagerank fn_zorder
+    llm_span_extract llm_dedup_fuzzy agg_entropy agg_gini fn_ip
+    ts_seasonal_index
     """.split()
 )
 

@@ -629,3 +629,66 @@ def fn_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
     )
     return k.select("o_orderkey", "x", "y", z.alias("zval"))
+
+
+@query(
+    "fn_ip",
+    oracle="""
+    WITH k AS (
+      SELECT o_orderkey,
+             (o_orderkey * 2654435761) % 4294967296 AS ip
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(ip >> 24 AS INT) AS o1,
+           CAST((ip >> 16) & 255 AS INT) AS o2,
+           CAST((ip >> 8) & 255 AS INT) AS o3,
+           CAST(ip & 255 AS INT) AS o4,
+           CAST(ip >> 24 AS VARCHAR) || '.' ||
+             CAST((ip >> 16) & 255 AS VARCHAR) || '.' ||
+             CAST((ip >> 8) & 255 AS VARCHAR) || '.' ||
+             CAST(ip & 255 AS VARCHAR) AS dotted,
+           CAST(ip >> 8 AS BIGINT) AS net24,
+           ((ip >> 24) = 10
+            OR ((ip >> 24) = 172 AND ((ip >> 16) & 255) BETWEEN 16 AND 31)
+            OR ((ip >> 24) = 192 AND ((ip >> 16) & 255) = 168))
+             AS is_private
+    FROM k
+    """,
+)
+def fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 parsing and CIDR bucketing — the web-log enrichment primitive:
+    octet extraction, dotted-quad formatting, /24 network prefix (the
+    per-subnet rollup key), RFC-1918 private-range classification. The
+    address is synthesized deterministically (Knuth multiplicative hash of
+    the order key mod 2³²) so both engines derive identical inputs.
+
+    Pure 64-bit integer shift/mask arithmetic — bit-identical everywhere,
+    fully inside whole-stage codegen.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ip = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    o1 = F.shiftright(ip, 24)
+    o2 = F.shiftright(ip, 16).bitwiseAND(F.lit(255))
+    o3 = F.shiftright(ip, 8).bitwiseAND(F.lit(255))
+    o4 = ip.bitwiseAND(F.lit(255))
+    return o.select(
+        "o_orderkey",
+        o1.cast("int").alias("o1"),
+        o2.cast("int").alias("o2"),
+        o3.cast("int").alias("o3"),
+        o4.cast("int").alias("o4"),
+        F.concat_ws(
+            ".",
+            o1.cast("string"),
+            o2.cast("string"),
+            o3.cast("string"),
+            o4.cast("string"),
+        ).alias("dotted"),
+        F.shiftright(ip, 8).cast("bigint").alias("net24"),
+        (
+            (o1 == 10)
+            | ((o1 == 172) & o2.between(16, 31))
+            | ((o1 == 192) & (o2 == 168))
+        ).alias("is_private"),
+    )

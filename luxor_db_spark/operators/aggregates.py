@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from luxor_db_spark.catalog import load_table, register_views
-from luxor_db_spark.functions.exact import davg, davg_sql, dsum, dsum_sql
+from luxor_db_spark.functions.exact import DEC, davg, davg_sql, dsum, dsum_sql
 from luxor_db_spark.registry import query
 
 _DISC = "l_extendedprice * (1 - l_discount)"
@@ -604,4 +604,117 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(m3 / F.pow(var, 1.5), 4).alias("skewness"),
         F.round(m4 / F.pow(var, 2.0) - 3, 4).alias("kurtosis"),
+    )
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    n AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY user_id
+    ),
+    t AS (
+      SELECT c.user_id,
+             CAST(ROUND(-(CAST(c.c AS DOUBLE) / n.n)
+                        * log2(CAST(c.c AS DOUBLE) / n.n), 12)
+                  AS DECIMAL(20,12)) AS term,
+             n.n
+      FROM c JOIN n ON c.user_id = n.user_id
+    )
+    SELECT user_id, n AS n_events,
+           ROUND(CAST(SUM(term) AS DOUBLE), 4) AS entropy
+    FROM t GROUP BY user_id, n
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the diversity /
+    behavioral-signature statistic (H = −Σ p·log₂p over the type shares).
+
+    Determinism: each term −p·log₂p is one double expression of exact
+    integer counts, ROUNDed to 12 decimals and cast to DECIMAL before the
+    per-user SUM, so the sum is order-independent; final report rounds at
+    4 (exact.py rule 4).
+
+    Scale shape: two chained map-combinable aggregates on the same
+    user_id grain (the second reuses the first's partitioning — one
+    events shuffle total) plus a same-key join; nothing wide.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("user_id").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    t = c.join(n, "user_id").select(
+        "user_id",
+        "n",
+        F.round(-p * F.log2(p), 12).cast("decimal(20,12)").alias("term"),
+    )
+    return t.groupBy("user_id", "n").agg(
+        F.round(F.sum("term").cast("double"), 4).alias("entropy")
+    ).select(
+        "user_id", F.col("n").alias("n_events"), "entropy"
+    )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+    WITH r AS (
+      SELECT c.c_nationkey AS nation, o.o_custkey AS cust,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6)))
+                  AS DECIMAL(18,2)) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY nation, cust
+    ),
+    rk AS (
+      SELECT nation, x,
+             ROW_NUMBER() OVER (PARTITION BY nation ORDER BY x, cust) AS i
+      FROM r
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND((2.0 * CAST(SUM(i * x) AS DOUBLE)
+                  - (COUNT(*) + 1) * CAST(SUM(x) AS DOUBLE))
+                 / (COUNT(*) * CAST(SUM(x) AS DOUBLE)), 4) AS gini
+    FROM rk GROUP BY nation
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across each nation's
+    customers — the inequality measure a marketplace-health dashboard
+    tracks (0 = revenue spread evenly, →1 = one customer dominates).
+
+    Uses the rank formula G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over
+    ascending-sorted revenues: Σi·xᵢ and Σx stay exact DECIMAL (integer
+    rank × exact revenue), so only the final division is floating —
+    ROUND(·,4) reports it.
+
+    Scale shape: orders collapse to customer grain first (one shuffle),
+    then the rank window and both sums partition by nation — entity-grain
+    work throughout; no global window anywhere.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    r = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .groupBy(
+            cust.c_nationkey.alias("nation"), o.o_custkey.alias("cust")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("x", "cust")
+    rk = r.select("nation", "x", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    six = F.sum(F.col("i") * F.col("x")).cast("double")
+    sx = F.sum("x").cast("double")
+    return rk.groupBy("nation").agg(
+        n.cast("bigint").alias("n_customers"),
+        F.round((2.0 * six - (n + 1) * sx) / (n * sx), 4).alias("gini"),
     )

@@ -1908,3 +1908,101 @@ def llm_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         prompt.alias("prompt_head"),
         F.length(prompt).cast("int").alias("n_prompt_chars"),
     )
+
+
+@query(
+    "llm_span_extract",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, 's[a-z]{3,}')) AS span
+      FROM documents
+    )
+    SELECT doc_id, span, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM m GROUP BY doc_id, span
+    """,
+)
+def llm_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-span extraction — the structured-extraction primitive
+    (entities, citations, code blocks) as regexp_extract_all + explode,
+    here demonstrated on s-prefixed 4+-letter words, aggregated to
+    (doc_id, span, n_hits).
+
+    Scale shape: extraction is per-row JVM regex (no Python); only the
+    extracted spans — a small fraction of the text — reach the aggregate's
+    shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all("text", F.lit("s[a-z]{3,}"), 0)
+            ).alias("span"),
+        )
+        .groupBy("doc_id", "span")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+
+
+@query(
+    "llm_dedup_fuzzy",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+             CAST(n_chars // 50 AS BIGINT) AS lenb
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, norm, lenb,
+             substr(norm, 1, strpos(norm || ' ', ' ') - 1) AS w1
+      FROM n
+    )
+    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.norm, 1, 100),
+                            substr(b2.norm, 1, 100)) AS INT) AS lev100
+    FROM b a JOIN b b2
+      ON a.w1 = b2.w1 AND a.lenb = b2.lenb AND a.doc_id < b2.doc_id
+    WHERE levenshtein(substr(a.norm, 1, 100), substr(b2.norm, 1, 100)) <= 20
+    """,
+)
+def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) dedup: candidate pairs share a block
+    key (first token + length bucket), then Levenshtein over the first 100
+    normalized chars keeps pairs within distance 20 — the
+    record-linkage-style complement to shingle Jaccard for short noisy
+    text.
+
+    Scale shape: blocking bounds the quadratic corner — pairs exist only
+    within (first-word, length-bucket) blocks, and the edit distance runs
+    on a 100-char prefix, so per-pair cost is O(100²) regardless of
+    document size. The equi-join on block keys shuffles only
+    (block, doc_id, 100-char prefix).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    b = d.select(
+        "doc_id",
+        norm.alias("norm"),
+        (F.col("n_chars") / 50).cast("bigint").alias("lenb"),
+        F.split(norm, " ").getItem(0).alias("w1"),
+    )
+    a, b2 = b.alias("a"), b.alias("b2")
+    lev = F.levenshtein(
+        F.substring(F.col("a.norm"), 1, 100),
+        F.substring(F.col("b2.norm"), 1, 100),
+    )
+    return (
+        a.join(
+            b2,
+            (F.col("a.w1") == F.col("b2.w1"))
+            & (F.col("a.lenb") == F.col("b2.lenb"))
+            & (F.col("a.doc_id") < F.col("b2.doc_id")),
+        )
+        .filter(lev <= 20)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b2.doc_id").alias("doc_b"),
+            lev.cast("int").alias("lev100"),
+        )
+    )

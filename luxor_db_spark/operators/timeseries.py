@@ -750,3 +750,58 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(med, 4).alias("med7"),
     )
+
+
+@query(
+    "ts_seasonal_index",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+             COUNT(value) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s
+      FROM events GROUP BY event_type, hr
+    ),
+    g AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS gn, SUM(s) AS gs
+      FROM h GROUP BY event_type
+    )
+    SELECT h.event_type, h.hr, CAST(h.n AS BIGINT) AS n_obs,
+           ROUND((CAST(h.s AS DOUBLE) / h.n)
+                 / (CAST(g.gs AS DOUBLE) / g.gn), 4) AS seasonal_idx
+    FROM h JOIN g ON h.event_type = g.event_type
+    """,
+)
+def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal index per series: each hour's mean value
+    relative to the series' overall mean (1.0 = no seasonality) — the
+    multiplicative-decomposition profile used for seasonally-adjusted
+    anomaly thresholds and load forecasts.
+
+    Determinism: both means come from exact DECIMAL sums over integer
+    counts; the index is one double division chain of bit-identical
+    inputs, ROUNDed at 4.
+
+    Scale shape: the hourly rollup map-side-combines to ≤ |types|×24 rows;
+    the per-type totals aggregate THAT (not the events) and join back on
+    the tiny grain — one events shuffle total.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(
+        F.count("value").alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("s"),
+    )
+    g = h.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("gn"), F.sum("s").alias("gs")
+    )
+    return h.join(F.broadcast(g), "event_type").select(
+        "event_type",
+        "hr",
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(
+            (F.col("s").cast("double") / F.col("n"))
+            / (F.col("gs").cast("double") / F.col("gn")),
+            4,
+        ).alias("seasonal_idx"),
+    )

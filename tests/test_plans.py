@@ -335,3 +335,45 @@ def test_zorder_is_map_only(audit):
     """fn_zorder is pure bit arithmetic — a map-only plan."""
     a = audit("fn_zorder")
     assert a.n_exchanges == 0, "zorder computation must not shuffle"
+
+
+def test_ip_parsing_is_map_only(audit):
+    """fn_ip is pure bit arithmetic — no Exchange."""
+    a = audit("fn_ip")
+    assert a.n_exchanges == 0, "IP parsing must not shuffle"
+
+
+def test_entropy_reuses_user_partitioning(audit):
+    """agg_entropy chains two aggregates on the same user_id grain plus a
+    same-key join — the events table shuffles exactly once (the
+    (user, type) rollup); every later Exchange operates on rollup-grain
+    rows. Node count via the formatted-plan detail headers (the raw text
+    lists each node twice: tree + details)."""
+    import re
+
+    a = audit("agg_entropy")
+    a.assert_no_cartesian()
+    n_exchange_nodes = len(re.findall(r"\(\d+\) Exchange", a.text))
+    assert n_exchange_nodes <= 5, (
+        f"expected ≤5 Exchange nodes on the rollup grain, "
+        f"found {n_exchange_nodes}"
+    )
+
+
+def test_gini_has_no_global_window(audit):
+    """agg_gini's rank window must partition by nation — never a
+    single-partition global sort."""
+    import re
+
+    a = audit("agg_gini")
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)", a.text):
+        assert spec.lstrip().startswith("nation#"), (
+            f"rank window not partitioned by nation: {spec}"
+        )
+
+
+def test_seasonal_index_broadcasts_type_totals(audit):
+    """ts_seasonal_index joins the tiny per-type totals back via
+    broadcast; the events table shuffles once for the hourly rollup."""
+    a = audit("ts_seasonal_index")
+    a.assert_broadcasts(at_least=1)
