@@ -59,6 +59,14 @@ HEADLINE = [
     "ts_sessionize",
     "ts_anomaly",
     "llm_bm25_search",
+    # round 4 additions (append-only so cross-round totals stay comparable
+    # on the shared prefix)
+    "llm_dedup_fuzzy",
+    "llm_winnow_fingerprint",
+    "llm_chunk_overlap",
+    "graph_pagerank",
+    "agg_gini",
+    "win_moving_median",
 ]
 
 

@@ -1955,7 +1955,8 @@ def llm_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
       SELECT doc_id, norm, lenb,
-             substr(norm, 1, strpos(norm || ' ', ' ') - 1) AS w1
+             array_to_string(list_slice(string_split(norm, ' '), 1, 2), ' ')
+               AS w1
       FROM n
     )
     SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
@@ -1968,13 +1969,15 @@ def llm_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy (edit-distance) dedup: candidate pairs share a block
-    key (first token + length bucket), then Levenshtein over the first 100
+    key (first two tokens + length bucket), then Levenshtein over the first 100
     normalized chars keeps pairs within distance 20 — the
     record-linkage-style complement to shingle Jaccard for short noisy
     text.
 
     Scale shape: blocking bounds the quadratic corner — pairs exist only
-    within (first-word, length-bucket) blocks, and the edit distance runs
+    within (two-word-prefix, length-bucket) blocks (the two-token prefix
+    keeps block sizes near-constant as the corpus grows; one token left
+    Zipf-skewed blocks that dominated runtime), and the edit distance runs
     on a 100-char prefix, so per-pair cost is O(100²) regardless of
     document size. The equi-join on block keys shuffles only
     (block, doc_id, 100-char prefix).
@@ -1985,7 +1988,7 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         norm.alias("norm"),
         (F.col("n_chars") / 50).cast("bigint").alias("lenb"),
-        F.split(norm, " ").getItem(0).alias("w1"),
+        F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 2)).alias("w1"),
     )
     a, b2 = b.alias("a"), b.alias("b2")
     lev = F.levenshtein(
