@@ -125,7 +125,7 @@ _LATE_FRESH: frozenset[str] = frozenset(
     ts_cusum_changepoint win_moving_median agg_skew_kurt
     graph_pagerank fn_zorder
     llm_span_extract llm_dedup_fuzzy agg_entropy agg_gini fn_ip
-    ts_seasonal_index
+    ts_seasonal_index join_spatial_grid llm_dpo_pairs
     """.split()
 )
 

@@ -464,3 +464,74 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return a.join(b, a.k.eqNullSafe(b.k)).select("a_id", "b_id")
+
+
+@query(
+    "join_spatial_grid",
+    oracle="""
+    WITH p AS (
+      SELECT c_custkey AS id,
+             CAST((c_custkey * 61) % 1000 AS BIGINT) AS x,
+             CAST((c_custkey * 97) % 1000 AS BIGINT) AS y
+      FROM customer
+    )
+    SELECT a.id AS a_id, b.id AS b_id,
+           CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+    FROM p a JOIN p b
+      ON b.x BETWEEN a.x - 5 AND a.x + 5
+     AND b.y BETWEEN a.y - 5 AND a.y + 5
+     AND a.id < b.id
+    WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 25
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial self-join: all point pairs within Euclidean
+    distance 5, via ε-cell bucketing — the distance-join algorithm that
+    replaces the O(n²) theta join at scale.
+
+    Each point hashes to its ⌊coord/ε⌋ grid cell; one side replicates to
+    its 3×3 cell neighborhood (a bounded ×9 fan-out), the join is a pure
+    EQUI-join on the cell key, and the exact distance predicate filters
+    candidates. A qualifying pair shares exactly one (replicated-cell =
+    home-cell) match, so no post-dedup is needed. The oracle runs the
+    direct quadratic BETWEEN-join — different algorithm, same rows, which
+    is exactly what the differential check should prove.
+
+    Scale shape: shuffle keys are cell ids (uniform by construction here;
+    real data wants ε tuned so cell occupancy stays O(1)); candidate count
+    is Σ|cell|·|neighbor cells| — linear for near-constant occupancy,
+    never all-pairs. Coordinates are synthesized deterministic integers,
+    so dist² is exact in both engines.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    p = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 61) % 1000).cast("bigint").alias("x"),
+        ((F.col("c_custkey") * 97) % 1000).cast("bigint").alias("y"),
+    )
+    a = (
+        p.withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("id").alias("a_id"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            (F.expr("x div 5") + F.col("dx")).alias("cx"),
+            (F.expr("y div 5") + F.col("dy")).alias("cy"),
+        )
+    )
+    b = p.select(
+        F.col("id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.expr("x div 5").alias("cx"),
+        F.expr("y div 5").alias("cy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("a_id") < F.col("b_id")) & (d2 <= 25))
+        .select("a_id", "b_id", d2.cast("bigint").alias("dist2"))
+    )

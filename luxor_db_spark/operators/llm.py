@@ -2009,3 +2009,85 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.cast("int").alias("lev100"),
         )
     )
+
+
+@query(
+    "llm_dpo_pairs",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, source,
+             len(list_distinct(string_split(text, ' '))) * 1000
+               + n_chars AS score
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, source, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY score DESC, doc_id) AS rk_best,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY score ASC, doc_id) AS rk_worst
+      FROM s
+    )
+    SELECT b.lang, b.source,
+           b.doc_id AS chosen_doc_id, w.doc_id AS rejected_doc_id,
+           CAST(b.score - w.score AS BIGINT) AS score_gap
+    FROM r b JOIN r w ON b.lang = w.lang AND b.source = w.source
+    WHERE b.rk_best = 1 AND w.rk_worst = 1 AND b.doc_id <> w.doc_id
+    """,
+)
+def llm_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF: within each prompt group
+    (stand-in: (lang, source)), pair the highest-scoring response as
+    `chosen` with the lowest as `rejected`, with the score gap as the
+    pair's training weight. Groups with a single distinct document are
+    dropped (no contrast to learn from).
+
+    The score is a deterministic integer (1000·distinct-tokens + chars),
+    and both extreme picks tie-break on doc_id — fully reproducible, no
+    float ranking.
+
+    Scale shape: one (lang, source) shuffle; both extremes come from the
+    same window sort (two ROW_NUMBERs over opposed orders share the
+    partition), then a self-join on the tiny group grain.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    score = (
+        F.size(F.array_distinct(F.split("text", " "))) * 1000
+        + F.col("n_chars")
+    ).alias("score")
+    s = d.select("doc_id", "lang", "source", score)
+    wb = Window.partitionBy("lang", "source").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    ww = Window.partitionBy("lang", "source").orderBy(
+        F.col("score").asc(), "doc_id"
+    )
+    r = s.select(
+        "lang",
+        "source",
+        "doc_id",
+        "score",
+        F.row_number().over(wb).alias("rk_best"),
+        F.row_number().over(ww).alias("rk_worst"),
+    )
+    b = r.filter(F.col("rk_best") == 1).select(
+        "lang", "source",
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("score").alias("bs"),
+    )
+    w = r.filter(F.col("rk_worst") == 1).select(
+        "lang", "source",
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("score").alias("ws"),
+    )
+    return (
+        b.join(w, ["lang", "source"])
+        .filter(F.col("chosen_doc_id") != F.col("rejected_doc_id"))
+        .select(
+            "lang",
+            "source",
+            "chosen_doc_id",
+            "rejected_doc_id",
+            (F.col("bs") - F.col("ws")).cast("bigint").alias("score_gap"),
+        )
+    )

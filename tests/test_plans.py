@@ -377,3 +377,15 @@ def test_seasonal_index_broadcasts_type_totals(audit):
     broadcast; the events table shuffles once for the hourly rollup."""
     a = audit("ts_seasonal_index")
     a.assert_broadcasts(at_least=1)
+
+
+def test_spatial_grid_join_is_equi_not_theta(audit):
+    """join_spatial_grid must compile to an equi-join on cell ids (SMJ or
+    shuffled hash), never a nested-loop/cartesian theta join — that is
+    the entire point of ε-grid blocking."""
+    a = audit("join_spatial_grid")
+    a.assert_no_cartesian()
+    assert a.n_nested_loop_joins == 0, (
+        "spatial join fell back to a nested-loop theta join"
+    )
+    assert a.n_sortmerge_joins + a.n_shuffled_hash_joins + a.n_broadcast_joins >= 1
