@@ -2091,3 +2091,152 @@ def llm_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bs") - F.col("ws")).cast("bigint").alias("score_gap"),
         )
     )
+
+
+@query(
+    "llm_bigram_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM tok, unnest(generate_series(1, len(t) - 1)) AS s(i)
+      WHERE len(t) >= 2
+    ),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(ROUND(ln(CAST(c12.n12 AS DOUBLE) / c1.n1), 12)
+                  AS DECIMAL(20,12)) AS lp
+      FROM bg JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+              JOIN c1 ON bg.w1 = c1.w1
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language-model quality scoring without a neural model:
+    train a bigram MLE on the corpus itself, score each document by its
+    mean bigram log-probability — the perplexity-style fluency filter of
+    classic data-curation pipelines (low scores = improbable word
+    sequences = boilerplate/garbled text).
+
+    Determinism: probabilities are ratios of exact corpus counts; each
+    log term ROUNDs at 12 decimals into DECIMAL before the per-doc SUM
+    (order-independent), and the mean reports at 4.
+
+    Scale shape: bigram extraction is a per-row transform; the count
+    tables are map-side-combinable aggregates keyed on (w1[, w2]); the
+    scoring joins shuffle (doc_id, w1, w2) triples against those counts
+    on the bigram key — text itself never re-shuffles. At web scale the
+    count tables get a frequency floor (drop hapax bigrams) to bound the
+    model size; exact MLE here keeps the oracle precise.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    bg = (
+        d.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(F.slice("t", 1, F.size("t") - 1)).alias("i", "w1"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "w1",
+            F.element_at("t", F.col("i") + 2).alias("w2"),
+        )
+    )
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    lp = (
+        F.round(
+            F.log(F.col("n12").cast("double") / F.col("n1")), 12
+        ).cast("decimal(20,12)")
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+def _signbits_duck(col: str, k: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(k)
+    )
+    return f"({terms})"
+
+
+@query(
+    "llm_dedup_semantic_block",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_signbits_duck("embedding", 12)} AS blk
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.blk,
+           ROUND({_COS_DUCK.format(a="a.embedding", b="b2.embedding")}, 4)
+             AS sim
+    FROM b a JOIN b b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
+    WHERE ROUND({_COS_DUCK.format(a="a.embedding", b="b2.embedding")}, 4)
+          >= 0.95
+    """,
+)
+def llm_dedup_semantic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate candidates: block embeddings
+    by the sign pattern of their first 12 dimensions (a 4096-bucket
+    random-hyperplane-style LSH that needs no trained quantizer), then
+    keep same-block pairs with cosine ≥ 0.95.
+
+    Sign-bit blocking is the engine-portable complement to `llm_ann_ivf`
+    (whose k-means quantizer is pyspark.ml-internal, rows-only): exact
+    integer block keys make the whole pipeline SQL-oracle-checkable.
+    Near-identical vectors agree on all high-magnitude sign bits, so
+    recall for the ≥0.95 band is high; a production pass would union
+    several bit-subsets (multi-probe) exactly like LSH banding.
+
+    Scale shape: the pair join is an equi-join on block ids — candidate
+    count is Σ|block|², sub-quadratic for spread-out blocks; embeddings
+    shuffle once on the block key.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    blk = None
+    for i in range(12):
+        bit = F.when(
+            F.element_at("embedding", i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        blk = bit if blk is None else blk + bit
+    b = e.select("vec_id", "embedding", blk.alias("blk"))
+    a, b2 = b.alias("a"), b.alias("b2")
+    sim = F.round(
+        _cosine(F.col("a.embedding"), F.col("b2.embedding")), 4
+    )
+    return (
+        a.join(
+            b2,
+            (F.col("a.blk") == F.col("b2.blk"))
+            & (F.col("a.vec_id") < F.col("b2.vec_id")),
+        )
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.95)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b2.vec_id").alias("vec_b"),
+            F.col("a.blk").alias("blk"),
+            "sim",
+        )
+    )

@@ -389,3 +389,21 @@ def test_spatial_grid_join_is_equi_not_theta(audit):
         "spatial join fell back to a nested-loop theta join"
     )
     assert a.n_sortmerge_joins + a.n_shuffled_hash_joins + a.n_broadcast_joins >= 1
+
+
+def test_semantic_block_join_is_equi(audit):
+    """Sign-bit semantic blocking must plan as an equi-join on the block
+    key — no nested-loop all-pairs fallback."""
+    a = audit("llm_dedup_semantic_block")
+    a.assert_no_cartesian()
+    assert a.n_nested_loop_joins == 0
+    assert a.n_sortmerge_joins + a.n_shuffled_hash_joins + a.n_broadcast_joins >= 1
+
+
+def test_bigram_lm_text_shuffles_once(audit):
+    """llm_bigram_lm_score: the only wide ops over full-text-derived rows
+    are the bigram-key aggregations/joins — text columns themselves must
+    not appear in any Exchange (the scoring pipeline carries only
+    (doc_id, w1, w2) triples)."""
+    a = audit("llm_bigram_lm_score")
+    a.assert_no_cartesian()
