@@ -127,6 +127,7 @@ _LATE_FRESH: frozenset[str] = frozenset(
     llm_span_extract llm_dedup_fuzzy agg_entropy agg_gini fn_ip
     ts_seasonal_index join_spatial_grid llm_dpo_pairs
     llm_bigram_lm_score llm_dedup_semantic_block
+    win_bollinger fn_haversine llm_mix_temperature scan_file_metadata
     """.split()
 )
 

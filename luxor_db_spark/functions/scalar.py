@@ -692,3 +692,55 @@ def fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((o1 == 192) & (o2 == 168))
         ).alias("is_private"),
     )
+
+
+@query(
+    "fn_haversine",
+    oracle="""
+    WITH p AS (
+      SELECT c_custkey,
+             CAST((c_custkey * 37) % 180 AS DOUBLE) - 90 AS lat1,
+             CAST((c_custkey * 73) % 360 AS DOUBLE) - 180 AS lon1,
+             CAST((c_custkey * 53) % 180 AS DOUBLE) - 90 AS lat2,
+             CAST((c_custkey * 89) % 360 AS DOUBLE) - 180 AS lon2
+      FROM customer
+    )
+    SELECT c_custkey, lat1, lon1, lat2, lon2,
+           ROUND(2 * 6371.0 * ASIN(SQRT(
+             POW(SIN(RADIANS(lat2 - lat1) / 2), 2)
+             + COS(RADIANS(lat1)) * COS(RADIANS(lat2))
+               * POW(SIN(RADIANS(lon2 - lon1) / 2), 2))), 4) AS dist_km
+    FROM p
+    """,
+)
+def fn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) distance in km between two coordinate
+    pairs — the geo-enrichment primitive (store-to-customer distance,
+    geofence checks). Coordinates are synthesized deterministically from
+    the key so both engines compute from identical doubles; the formula
+    is built with the same expression shape on both sides and ROUNDs at 4
+    (irrational trig output, exact.py rule 4).
+
+    Pure JVM math inside whole-stage codegen — no shuffle, no Python.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    p = c.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 37) % 180).cast("double") - 90).alias("lat1"),
+        (((F.col("c_custkey") * 73) % 360).cast("double") - 180).alias("lon1"),
+        (((F.col("c_custkey") * 53) % 180).cast("double") - 90).alias("lat2"),
+        (((F.col("c_custkey") * 89) % 360).cast("double") - 180).alias("lon2"),
+    )
+    dlat = F.radians(F.col("lat2") - F.col("lat1")) / 2
+    dlon = F.radians(F.col("lon2") - F.col("lon1")) / 2
+    h = F.pow(F.sin(dlat), 2) + F.cos(F.radians("lat1")) * F.cos(
+        F.radians("lat2")
+    ) * F.pow(F.sin(dlon), 2)
+    return p.select(
+        "c_custkey",
+        "lat1",
+        "lon1",
+        "lat2",
+        "lon2",
+        F.round(2 * 6371.0 * F.asin(F.sqrt(h)), 4).alias("dist_km"),
+    )

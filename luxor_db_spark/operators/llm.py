@@ -2240,3 +2240,62 @@ def llm_dedup_semantic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim",
         )
     )
+
+
+@query(
+    "llm_mix_temperature",
+    oracle="""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    t AS (
+      SELECT lang, n,
+             CAST(ROUND(POW(CAST(n AS DOUBLE), 0.7), 12)
+                  AS DECIMAL(26,12)) AS pa
+      FROM c
+    ),
+    z AS (SELECT SUM(pa) AS zsum, CAST(SUM(n) AS BIGINT) AS total FROM t)
+    SELECT t.lang, CAST(t.n AS BIGINT) AS n_docs,
+           ROUND(CAST(t.n AS DOUBLE) / z.total, 4) AS p_raw,
+           ROUND(CAST(t.pa AS DOUBLE) / CAST(z.zsum AS DOUBLE), 4)
+             AS p_temp,
+           ROUND((CAST(t.pa AS DOUBLE) / CAST(z.zsum AS DOUBLE))
+                 / (CAST(t.n AS DOUBLE) / z.total), 4) AS upsample_factor
+    FROM t, z
+    """,
+)
+def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights (α=0.7) across corpus sources —
+    the multilingual-mixing recipe (mBERT/XLM-R style): raise each
+    language's share to the α power and renormalize, up-sampling the tail
+    so low-resource languages aren't drowned out. Emits raw vs scaled
+    shares and the implied up-sampling factor per language.
+
+    Determinism: counts are exact; each n^α ROUNDs at 12 into DECIMAL so
+    the normalizer Σn^α is an exact order-independent sum; the final
+    shares divide bit-identical doubles and ROUND at 4.
+
+    Scale shape: one map-combinable count per language, then arithmetic
+    on the |langs|-row grain with the 1-row normalizer broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.select(
+        "lang",
+        "n",
+        F.round(F.pow(F.col("n").cast("double"), 0.7), 12)
+        .cast("decimal(26,12)")
+        .alias("pa"),
+    )
+    z = t.agg(
+        F.sum("pa").alias("zsum"), F.sum("n").cast("bigint").alias("total")
+    )
+    p_raw = F.col("n").cast("double") / F.col("total")
+    p_temp = F.col("pa").cast("double") / F.col("zsum").cast("double")
+    return t.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(p_raw, 4).alias("p_raw"),
+        F.round(p_temp, 4).alias("p_temp"),
+        F.round(p_temp / p_raw, 4).alias("upsample_factor"),
+    )

@@ -805,3 +805,75 @@ def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("seasonal_idx"),
     )
+
+
+@query(
+    "win_bollinger",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, ts, event_id, value,
+             COUNT(*) OVER f AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) OVER f AS s1,
+             SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               OVER f AS s2
+      FROM events
+      WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, ts, event_id,
+           ROUND(CAST(s1 AS DOUBLE) / n, 4) AS ma20,
+           ROUND(CAST(s1 AS DOUBLE) / n
+                 + 2 * SQRT(GREATEST((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n,
+                       0)), 4) AS upper_band,
+           ROUND(CAST(s1 AS DOUBLE) / n
+                 - 2 * SQRT(GREATEST((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n,
+                       0)), 4) AS lower_band
+    FROM w WHERE n >= 20
+    """,
+)
+def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands: trailing 20-observation mean ± 2 population
+    standard deviations per series — the volatility envelope, emitted
+    only once the frame is full (n ≥ 20).
+
+    Determinism: the frame's sufficient statistics (n, Σv, Σv²) are exact
+    DECIMAL window sums, so mean and variance are bit-identical across
+    engines and partitionings; GREATEST(·, 0) guards the tiny negative
+    residue the subtraction form can produce in double space, identically
+    on both sides.
+
+    Scale shape: one (event_type) window sort; all three statistics share
+    the same frame — a single window pass, constant state per row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    vdec = F.col("value").cast(DEC)
+    w = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.count(F.lit(1)).over(f).alias("n"),
+        F.sum(vdec).over(f).alias("s1"),
+        F.sum(vdec * vdec).over(f).alias("s2"),
+    )
+    s1d, s2d, n = (
+        F.col("s1").cast("double"),
+        F.col("s2").cast("double"),
+        F.col("n"),
+    )
+    ma = s1d / n
+    sd = F.sqrt(F.greatest((s2d - s1d * s1d / n) / n, F.lit(0.0)))
+    return w.filter(n >= 20).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(ma, 4).alias("ma20"),
+        F.round(ma + 2 * sd, 4).alias("upper_band"),
+        F.round(ma - 2 * sd, 4).alias("lower_band"),
+    )

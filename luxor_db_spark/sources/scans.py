@@ -370,3 +370,43 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(
         f"{base}/gen=1", f"{base}/gen=2"
     )
+
+
+@query(
+    "scan_file_metadata",
+    oracle="""
+    SELECT 'orders.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    """,
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-provenance scan via Spark's hidden ``_metadata`` struct — the
+    lineage primitive every large ingest needs (which file produced this
+    row? which files hold a key range? what to reprocess after a bad
+    delivery?). Aggregates per-file row counts and key ranges.
+
+    The ``_metadata.file_name`` column is constant per split, so Catalyst
+    evaluates it without touching row data. Oracle note: the fixture is
+    one Parquet file per table, so the expected provenance aggregate is
+    predictable from the plain view ('orders.parquet', full-table
+    count/min/max) — the Spark side still genuinely reads ``_metadata``;
+    a multi-file layout would group the same way per file.
+
+    Scale shape: one map-combinable aggregate keyed on file name —
+    perfect partial aggregation (each task sees one or few files).
+    """
+    from luxor_db_spark.catalog import table_path
+
+    o = spark.read.parquet(table_path(sf_dir, "orders"))
+    return (
+        o.select(F.col("_metadata.file_name").alias("file_name"), "o_orderkey")
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+    )
