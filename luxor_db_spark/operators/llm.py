@@ -2299,3 +2299,118 @@ def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_temp, 4).alias("p_temp"),
         F.round(p_temp / p_raw, 4).alias("upsample_factor"),
     )
+
+
+@query(
+    "llm_rrf_hybrid",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    kw AS (
+      SELECT doc_id, COUNT(*) AS tf FROM toks
+      WHERE term IN ('join', 'stream', 'window') GROUP BY doc_id
+    ),
+    kwr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS rk_kw
+      FROM kw
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sem AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 4)
+               AS sim
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    semr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rk_sem
+      FROM sem
+    ),
+    fused AS (
+      SELECT kwr.doc_id, rk_kw, rk_sem,
+             1.0 / (60 + rk_kw) + 1.0 / (60 + rk_sem) AS rrf
+      FROM kwr JOIN semr ON kwr.doc_id = semr.doc_id
+    )
+    SELECT doc_id, CAST(rk_kw AS BIGINT) AS rk_kw,
+           CAST(rk_sem AS BIGINT) AS rk_sem,
+           ROUND(rrf, 6) AS rrf
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+          FROM fused)
+    WHERE rn <= 20
+    """,
+)
+def llm_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion: fuse a keyword
+    ranking (query-term frequency) with a semantic ranking (cosine to a
+    query embedding) via RRF(k=60) — the standard way modern RAG stacks
+    combine BM25-style and vector search without score calibration.
+
+    Determinism: both input ranks are integer ROW_NUMBERs with doc_id
+    tie-breaks (keyword rank over integer tf; semantic rank over
+    4-rounded cosine), so the fused score is one fixed double expression
+    of integers — identical everywhere. Top-20 cut by (rrf, doc_id).
+
+    Scale shape: the keyword side is bounded by query-term postings; the
+    semantic side broadcasts the single query vector; ranking windows are
+    global but run over the (small) candidate lists, not the corpus —
+    exactly the retrieval-tail shape, with the corpus-sized work all in
+    the bounded tf aggregation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    kw = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term").isin("join", "stream", "window"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    kwr = kw.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), "doc_id"))
+        .alias("rk_kw"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(_cosine(F.col("embedding"), F.col("qv")), 4).alias(
+                "sim"
+            ),
+        )
+    )
+    semr = sem.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), "doc_id"))
+        .alias("rk_sem"),
+    )
+    fused = kwr.join(semr, "doc_id").select(
+        "doc_id",
+        "rk_kw",
+        "rk_sem",
+        (
+            1.0 / (60 + F.col("rk_kw")) + 1.0 / (60 + F.col("rk_sem"))
+        ).alias("rrf"),
+    )
+    top = fused.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf").desc(), "doc_id"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 20)
+    return top.select(
+        "doc_id",
+        F.col("rk_kw").cast("bigint").alias("rk_kw"),
+        F.col("rk_sem").cast("bigint").alias("rk_sem"),
+        F.round("rrf", 6).alias("rrf"),
+    )

@@ -877,3 +877,104 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ma + 2 * sd, 4).alias("upper_band"),
         F.round(ma - 2 * sd, 4).alias("lower_band"),
     )
+
+
+def _acf_oracle() -> str:
+    lag_selects = " UNION ALL ".join(
+        f"SELECT event_type, {k} AS lag, v AS x, "
+        f"LAG(v, {k}) OVER (PARTITION BY event_type ORDER BY h) AS y "
+        f"FROM hourly"
+        for k in range(1, 7)
+    )
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(14,2)) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    lagged AS ({lag_selects}),
+    pairs AS (SELECT * FROM lagged WHERE y IS NOT NULL),
+    s AS (
+      SELECT event_type, lag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag, n AS n_pairs,
+           ROUND((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (SQRT(n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * SQRT(n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+             AS acf
+    FROM s
+    """
+
+
+@query("ts_acf", oracle=_acf_oracle())
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1–6 over each series' hourly sums
+    — the periodicity detector (a daily cycle shows as a peak near the
+    24-lag family; short-range dependence decays smoothly).
+
+    Determinism: identical to ts_correlation — exact DECIMAL(14,2) hourly
+    sums, exact sufficient statistics per (series, lag), one double
+    Pearson expression with the same shape both engines, ROUND 4.
+
+    Scale shape: after the map-combinable hourly rollup, all six lags
+    share ONE (event_type, h) window sort (six LAG expressions over the
+    same windowspec — no self-joins); the pair statistics aggregate on
+    the (series, lag) grain. Work is bounded by hours-in-range ×
+    n_series × 6, independent of event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(F.col("value").cast(DEC)).cast("decimal(14,2)").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    with_lags = hourly.select(
+        "event_type",
+        "v",
+        *[F.lag("v", k).over(w).alias(f"l{k}") for k in range(1, 7)],
+    )
+    lagged = with_lags.select(
+        "event_type",
+        F.col("v").alias("x"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"l{k}").alias("y")
+                    )
+                    for k in range(1, 7)
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "event_type", F.col("e.lag").alias("lag"), "x", F.col("e.y").alias("y")
+    )
+    pairs = lagged.filter(F.col("y").isNotNull())
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    acf = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return s.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.round(acf, 4).alias("acf"),
+    )

@@ -407,3 +407,18 @@ def test_bigram_lm_text_shuffles_once(audit):
     (doc_id, w1, w2) triples)."""
     a = audit("llm_bigram_lm_score")
     a.assert_no_cartesian()
+
+
+def test_acf_shares_one_window_sort(audit):
+    """ts_acf's six LAGs must share a single (event_type, h) window —
+    one Window node, never six."""
+    ops = _op_counts(audit("ts_acf"))
+    assert ops["Window"] == 1, f"expected 1 Window node, got {ops['Window']}"
+
+
+def test_rrf_broadcasts_query_vector(audit):
+    """llm_rrf_hybrid: the single query embedding must broadcast; no
+    cartesian against the collection."""
+    a = audit("llm_rrf_hybrid")
+    a.assert_no_cartesian()
+    assert a.n_nested_loop_joins + a.n_broadcast_joins >= 1
