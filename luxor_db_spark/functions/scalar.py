@@ -744,3 +744,40 @@ def fn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lon2",
         F.round(2 * 6371.0 * F.asin(F.sqrt(h)), 4).alias("dist_km"),
     )
+
+
+@query(
+    "fn_uuid5",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5('luxor:doc:' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    )
+    SELECT doc_id,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-'
+             || '5' || substr(hx, 14, 3) || '-'
+             || '8' || substr(hx, 18, 3) || '-' || substr(hx, 21, 12)
+             AS stable_id
+    FROM h
+    """,
+)
+def fn_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic name-based UUID minting (v5-style: namespace + name →
+    md5 → UUID layout with version/variant nibbles pinned) — the stable
+    row-identity primitive for pipelines: the same document gets the same
+    id on every run, every engine, every retry, unlike uuid()/random ids
+    that break idempotent re-processing and cross-run joins.
+
+    Pure string/hash expressions inside codegen — no shuffle, no state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("luxor:doc:"), F.col("doc_id").cast("string")))
+    stable = F.concat_ws(
+        "-",
+        F.substring(hx, 1, 8),
+        F.substring(hx, 9, 4),
+        F.concat(F.lit("5"), F.substring(hx, 14, 3)),
+        F.concat(F.lit("8"), F.substring(hx, 18, 3)),
+        F.substring(hx, 21, 12),
+    )
+    return d.select("doc_id", stable.alias("stable_id"))

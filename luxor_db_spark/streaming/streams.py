@@ -423,3 +423,54 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_first, n_total - n_first, n_total)],
         "n_first long, n_second long, n_total long",
     )
+
+
+@query(
+    "stream_windowed_topk",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('hour', ts), event_type
+               ORDER BY value DESC) AS rk
+      FROM events
+    )
+    SELECT window_start, event_type, CAST(rk AS INT) AS rk, value
+    FROM r WHERE rk <= 3
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window top-k: the 3 largest values per (1-hour
+    window, event type). Rank windows aren't supported in streaming, so
+    the top-k state is carried INSIDE the windowed aggregation as a
+    bounded sorted array (collect → sort desc → slice 3 — O(k) state per
+    window after compaction), drained in complete mode, and exploded to
+    (window, type, rank, value) rows batch-side.
+
+    Oracle-deterministic because ranks beyond tie boundaries emit
+    identical VALUES regardless of which tied row wins a slot.
+
+    Scale shape: per-window state is the top-k array, not the window's
+    rows; the stream shuffles once on the (window, type) group key —
+    the same cost as any windowed aggregate plus O(k) memory.
+    """
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", "1 hour"), "event_type"
+    ).agg(
+        F.slice(
+            F.sort_array(F.collect_list("value"), asc=False), 1, 3
+        ).alias("top3")
+    )
+    sunk = _drain(agg, "stream_windowed_topk", "complete")
+    return sunk.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        F.posexplode("top3").alias("pos", "value"),
+    ).select(
+        "window_start",
+        "event_type",
+        (F.col("pos") + 1).cast("int").alias("rk"),
+        "value",
+    )
