@@ -167,3 +167,55 @@ def test_asof_rewrite_matches_brute_force(spark, events, orders):
         if cands:
             want[i] = max(cands)
     assert got == want
+
+
+@given(
+    w=st.integers(min_value=1, max_value=4000),
+    h=st.integers(min_value=1, max_value=4000),
+    rgb=st.tuples(
+        st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+    ),
+)
+@settings(**SETTINGS)
+def test_image_header_parser_roundtrip(w, h, rgb):
+    """Pure-Python property: for ANY dimensions, synthesizing a PNG/GIF
+    and parsing its header must recover exactly (format, w, h) — the
+    guarantee mm_decode_image's oracle relies on at every doc_id."""
+    from luxor_db_spark.sources.multimodal import (
+        _parse_image_header,
+        make_gif,
+        make_png,
+    )
+
+    assert _parse_image_header(make_png(w, h, rgb)) == ("png", w, h)
+    if w <= 65535 and h <= 65535:  # GIF dims are u16 by format spec
+        assert _parse_image_header(make_gif(w, h)) == ("gif", w, h)
+
+
+@given(
+    x=st.integers(min_value=0, max_value=65535),
+    y=st.integers(min_value=0, max_value=65535),
+)
+@settings(**SETTINGS)
+def test_zorder_matches_reference_interleave(spark, x, y):
+    """fn_zorder's magic-number cascade must equal the textbook bitwise
+    interleave (x bits on even positions, y bits on odd) for any 16-bit
+    inputs — checked by running the same Column expressions over a
+    one-row frame against a pure-Python reference."""
+    from luxor_db_spark.functions.scalar import _spread_bits_spark
+
+    def ref_interleave(a: int, b: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame([(x, y)], "x long, y long")
+    z = (
+        _spread_bits_spark(F.col("x"))
+        .bitwiseOR(F.shiftleft(_spread_bits_spark(F.col("y")), 1))
+        .cast("bigint")
+    )
+    got = df.select(z.alias("z")).collect()[0].z
+    assert got == ref_interleave(x, y), (x, y, got)
