@@ -128,7 +128,7 @@ _LATE_FRESH: frozenset[str] = frozenset(
     ts_seasonal_index join_spatial_grid llm_dpo_pairs
     llm_bigram_lm_score llm_dedup_semantic_block
     win_bollinger fn_haversine llm_mix_temperature scan_file_metadata
-    llm_rrf_hybrid ts_acf stream_windowed_topk fn_uuid5
+    llm_rrf_hybrid ts_acf stream_windowed_topk fn_uuid5 sink_zorder
     """.split()
 )
 

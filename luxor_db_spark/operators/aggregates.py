@@ -692,23 +692,23 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank × exact revenue), so only the final division is floating —
     ROUND(·,4) reports it.
 
-    Scale shape: orders collapse to customer grain first (one shuffle),
-    then the rank window and both sums partition by nation — entity-grain
-    work throughout; no global window anywhere.
+    Scale shape: orders collapse to customer grain FIRST (map-combinable
+    rollup — the only fact-table shuffle), and the nation lookup joins
+    the 100×-smaller entity rollup, not the order rows; the rank window
+    and both sums then partition by nation. No global window anywhere.
     """
     o = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    r = (
-        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
-        .groupBy(
-            cust.c_nationkey.alias("nation"), o.o_custkey.alias("cust")
-        )
-        .agg(
-            F.sum(F.col("o_totalprice").cast(DEC))
-            .cast("decimal(18,2)")
-            .alias("x")
-        )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
     )
+    per_cust = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .cast("decimal(18,2)")
+        .alias("x")
+    )
+    r = per_cust.join(
+        F.broadcast(cust), per_cust.cust == cust.c_custkey
+    ).select(F.col("c_nationkey").alias("nation"), "cust", "x")
     w = Window.partitionBy("nation").orderBy("x", "cust")
     rk = r.select("nation", "x", F.row_number().over(w).alias("i"))
     n = F.count(F.lit(1))

@@ -410,3 +410,39 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").cast("bigint").alias("max_key"),
         )
     )
+
+
+@query("sink_zorder")  # rows-only: part-file names are nondeterministic
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered layout write — the OPTIMIZE ZORDER pattern: compute the
+    Morton key over (customer, order-day), range-partition + sort the
+    write by it, so each output file owns a contiguous z-range and
+    min/max file stats prune scans on EITHER dimension.
+
+    Returns the per-file clustering audit (file, rows, zmin, zmax) read
+    back through the `_metadata` column: a correct z-ordered layout has
+    NON-OVERLAPPING per-file z-ranges (asserted in tests/test_edge_cases),
+    which is exactly the property that makes row-group pruning effective.
+    """
+    from luxor_db_spark.registry import QUERIES
+
+    z = QUERIES["fn_zorder"](spark, sf_dir)
+    out = _tmpdir("sink_zorder")
+    (
+        z.repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.select(
+            F.col("_metadata.file_name").alias("file_name"), "zval"
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("zval").alias("zmin"),
+            F.max("zval").alias("zmax"),
+        )
+    )

@@ -230,3 +230,17 @@ def test_image_header_parser_real_decode():
     # not the stub (with PIL both agree on these fixtures anyway).
     assert _decode_image(make_png(16, 80, (1, 2, 3)))[:3] == ("png", 16, 80)
     assert _decode_image(make_gif(31, 17)) == ("gif", 31, 17)
+
+
+def test_zorder_sink_files_have_disjoint_ranges(spark, sf_dir):
+    """The z-ordered write must produce files owning non-overlapping
+    z-ranges — the property that lets min/max file stats prune scans on
+    either interleaved dimension."""
+    from luxor_db_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    files = QUERIES["sink_zorder"](spark, sf_dir).collect()
+    assert len(files) >= 2, "expected a multi-file z-ordered layout"
+    ranges = sorted((r.zmin, r.zmax) for r in files)
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping z-ranges: ({lo1},{hi1}) vs ({lo2},..)"
