@@ -422,3 +422,24 @@ def test_rrf_broadcasts_query_vector(audit):
     a = audit("llm_rrf_hybrid")
     a.assert_no_cartesian()
     assert a.n_nested_loop_joins + a.n_broadcast_joins >= 1
+
+
+def test_no_oracle_key_plans_cartesian(spark, sf_dir):
+    """Registry-wide scale invariant: no SQL-oracle key may plan a
+    CartesianProduct — every cross-join in the registry must be a
+    bounded broadcast (BNLJ of a 1-row aggregate / tiny dim), which
+    Catalyst renders as BroadcastNestedLoopJoin, never CartesianProduct.
+    Streaming/sink keys are excluded because building their DataFrame
+    executes the stream/write eagerly (they have dedicated tests)."""
+    from luxor_db_spark.plans.inspect import explain_formatted
+    from luxor_db_spark.registry import ORACLES, load_all_queries
+
+    queries = load_all_queries()
+    offenders = []
+    for key in sorted(ORACLES):
+        if key.startswith(("stream_", "sink_")):
+            continue
+        txt = explain_formatted(queries[key](spark, sf_dir))
+        if "CartesianProduct" in txt:
+            offenders.append(key)
+    assert not offenders, f"keys planning CartesianProduct: {offenders}"
