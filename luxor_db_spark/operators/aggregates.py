@@ -718,3 +718,121 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_customers"),
         F.round((2.0 * six - (n + 1) * sx) / (n * sx), 4).alias("gini"),
     )
+
+
+def _cms_bucket_sql(d: int) -> str:
+    """DuckDB: depth-d Count-Min bucket (0..255) of a user_id, from two md5
+    hex digits of a salted key — portable across engines."""
+    x = f"'cms{d}:' || CAST(user_id AS VARCHAR)"
+    dig = (
+        "CASE WHEN ascii(substr(md5({x}), {i}, 1)) <= 57 "
+        "THEN ascii(substr(md5({x}), {i}, 1)) - 48 "
+        "ELSE ascii(substr(md5({x}), {i}, 1)) - 87 END"
+    )
+    return f"({dig.format(x=x, i=1)}) * 16 + ({dig.format(x=x, i=2)})"
+
+
+def _cms_bucket_col(d: int) -> "F.Column":
+    x = F.concat(F.lit(f"cms{d}:"), F.col("user_id").cast("string"))
+    h = F.md5(x)
+
+    def dig(i: int) -> "F.Column":
+        c = F.ascii(F.substring(h, i, 1))
+        return F.when(c <= 57, c - 48).otherwise(c - 87)
+
+    return dig(1) * 16 + dig(2)
+
+
+@query(
+    "agg_countmin",
+    oracle=f"""
+    WITH sk AS (
+      SELECT d, bucket, COUNT(*) AS cnt FROM (
+        SELECT 0 AS d, {_cms_bucket_sql(0)} AS bucket, user_id FROM events
+        UNION ALL
+        SELECT 1, {_cms_bucket_sql(1)}, user_id FROM events
+        UNION ALL
+        SELECT 2, {_cms_bucket_sql(2)}, user_id FROM events
+        UNION ALL
+        SELECT 3, {_cms_bucket_sql(3)}, user_id FROM events
+      ) GROUP BY d, bucket
+    ),
+    q AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < 20
+    ),
+    est AS (
+      SELECT q.user_id, MIN(sk.cnt) AS cms_estimate
+      FROM q JOIN sk
+        ON (sk.d = 0 AND sk.bucket = {_cms_bucket_sql(0)})
+        OR (sk.d = 1 AND sk.bucket = {_cms_bucket_sql(1)})
+        OR (sk.d = 2 AND sk.bucket = {_cms_bucket_sql(2)})
+        OR (sk.d = 3 AND sk.bucket = {_cms_bucket_sql(3)})
+      GROUP BY q.user_id
+    ),
+    ex AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    )
+    SELECT ex.user_id, ex.exact_n,
+           CAST(est.cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(est.cms_estimate - ex.exact_n AS BIGINT) AS overcount
+    FROM ex JOIN est ON ex.user_id = est.user_id
+    """,
+)
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (depth 4 × width 256) with ENGINE-PORTABLE hashing
+    — the mergeable frequency sketch behind streaming heavy-hitter and
+    quota systems, made oracle-checkable: with fixed md5-derived bucket
+    functions the sketch content is deterministic, so even the
+    *estimates* hash-match across engines. Reports estimate vs exact for
+    a bounded probe set; `overcount ≥ 0` always (CMS never undercounts —
+    asserted in tests/test_edge_cases).
+
+    Scale shape: the sketch build is one map-side-combinable aggregate
+    over (depth, bucket) — at most 4×256 rows survive per mapper, the
+    textbook mergeable-sketch property (this is what makes CMS work as a
+    partial aggregate at 100 TB where exact per-key counts would need a
+    full shuffle). The probe joins the tiny sketch (≤1024 rows,
+    broadcast) against the bounded query set.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    legs = [
+        ev.select(
+            F.lit(d).alias("d"),
+            _cms_bucket_col(d).alias("bucket"),
+        )
+        for d in range(4)
+    ]
+    allb = legs[0]
+    for leg in legs[1:]:
+        allb = allb.unionAll(leg)
+    sk = allb.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    q = ev.filter(F.col("user_id") < 20).select("user_id").distinct()
+    probe = q.select(
+        "user_id",
+        *[_cms_bucket_col(d).alias(f"b{d}") for d in range(4)],
+    )
+    est = None
+    for d in range(4):
+        skd = sk.filter(F.col("d") == d).select(
+            F.col("bucket").alias(f"b{d}"), F.col("cnt").alias(f"c{d}")
+        )
+        probe = probe.join(F.broadcast(skd), f"b{d}")
+    est = probe.select(
+        "user_id",
+        F.least(*[F.col(f"c{d}") for d in range(4)]).alias("cms_estimate"),
+    )
+    ex = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    )
+    return ex.join(est, "user_id").select(
+        "user_id",
+        "exact_n",
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("exact_n"))
+        .cast("bigint")
+        .alias("overcount"),
+    )

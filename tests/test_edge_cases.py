@@ -244,3 +244,14 @@ def test_zorder_sink_files_have_disjoint_ranges(spark, sf_dir):
     ranges = sorted((r.zmin, r.zmax) for r in files)
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping z-ranges: ({lo1},{hi1}) vs ({lo2},..)"
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    """CMS structural guarantee: estimate ≥ exact for every probed key."""
+    from luxor_db_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    rows = QUERIES["agg_countmin"](spark, sf_dir).collect()
+    assert rows, "probe set empty"
+    for r in rows:
+        assert r.overcount >= 0, f"CMS undercounted user {r.user_id}"
