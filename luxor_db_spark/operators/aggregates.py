@@ -836,3 +836,98 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overcount"),
     )
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_custkey) AS BIGINT) AS n_non_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS VARCHAR),
+           CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ANALYZE/data-quality pass): per column, row
+    count, non-null count, exact distinct cardinality, min/max — the
+    statistics that feed null-rate alerts, CBO estimates, and schema
+    drift detection. Values stringify so one long-form report covers
+    heterogeneous column types.
+
+    Scale shape: ONE pass over the table computing all per-column
+    aggregates together (Catalyst expands the multi-distinct into an
+    expand+aggregate, still a single scan); output is |columns| rows.
+    At 100 TB the exact distincts would downgrade to HLL sketches —
+    `agg_approx_distinct`/`agg_hll_merge` are that path.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    legs = []
+    for col in ("o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority"):
+        legs.append(
+            o.agg(
+                F.lit(col).alias("col"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count(col).cast("bigint").alias("n_non_null"),
+                F.countDistinct(col).cast("bigint").alias("n_distinct"),
+                F.min(col).cast("string").alias("min_v"),
+                F.max(col).cast("string").alias("max_v"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
+
+
+@query("agg_hll_merge")  # rows-only: Datasketches HLL is engine-internal
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch infrastructure (Spark 4 Datasketches HLL): build
+    one HLL sketch per event type, then MERGE the partial sketches into a
+    global cardinality — the two-level aggregation every 100 TB distinct
+    count uses (per-partition sketches → union), without ever shuffling
+    raw keys. Rows-only: sketch binaries and estimates are
+    engine-internal.
+
+    Emits per-type estimates plus one 'ALL' row whose estimate comes from
+    hll_union_agg over the per-type sketches — NOT from re-scanning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+        "n_rows",
+    )
+    merged = per_type.agg(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("est_users"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+    return typed.unionAll(merged)

@@ -2414,3 +2414,97 @@ def llm_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk_sem").cast("bigint").alias("rk_sem"),
         F.round("rrf", 6).alias("rrf"),
     )
+
+
+_FUZZY_PAIRS_DUCK = """
+    WITH n AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+             CAST(n_chars // 50 AS BIGINT) AS lenb
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, norm, lenb,
+             array_to_string(list_slice(string_split(norm, ' '), 1, 2), ' ')
+               AS w1
+      FROM n
+    )
+    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM b a JOIN b b2
+      ON a.w1 = b2.w1 AND a.lenb = b2.lenb AND a.doc_id < b2.doc_id
+    WHERE levenshtein(substr(a.norm, 1, 100), substr(b2.norm, 1, 100)) <= 20
+"""
+
+
+@query(
+    "llm_dedup_report",
+    oracle=f"""
+    WITH exact_groups AS (
+      SELECT md5({_NORM_DUCK}) AS fp, COUNT(*) AS n
+      FROM documents GROUP BY fp
+    ),
+    near_pairs AS ({_NEAR_PAIRS_DUCK}),
+    fuzzy_pairs AS ({_FUZZY_PAIRS_DUCK})
+    SELECT 'exact' AS method,
+           CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_docs_flagged
+    FROM exact_groups
+    UNION ALL
+    SELECT 'near', CAST(COUNT(*) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT d) FROM (
+              SELECT doc_a AS d FROM near_pairs
+              UNION SELECT doc_b FROM near_pairs)) AS BIGINT)
+    FROM near_pairs
+    UNION ALL
+    SELECT 'fuzzy', CAST(COUNT(*) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT d) FROM (
+              SELECT doc_a AS d FROM fuzzy_pairs
+              UNION SELECT doc_b FROM fuzzy_pairs)) AS BIGINT)
+    FROM fuzzy_pairs
+    """,
+)
+def llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method comparison report — the pipeline-integration view a
+    curation team actually looks at: for each method (exact fingerprint,
+    shingle-Jaccard near-dup, blocked edit-distance), how many candidate
+    pairs and how many documents are implicated. COMPOSES the registered
+    operators (`llm_dedup_near`, `llm_dedup_fuzzy`) rather than
+    re-deriving them — one definition, every consumer.
+
+    Scale shape: inherits each method's own bounded shape; the report
+    aggregates their pair outputs to three rows.
+    """
+    from luxor_db_spark.registry import QUERIES
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.expr(_NORM))
+    eg = d.groupBy(fp.alias("fp")).agg(F.count(F.lit(1)).alias("n"))
+    exact = eg.agg(
+        F.lit("exact").alias("method"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2)
+        .cast("bigint")
+        .alias("n_pairs"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_flagged"),
+    )
+
+    def pair_stats(df: DataFrame, method: str) -> DataFrame:
+        docs = df.select(F.col("doc_a").alias("d")).union(
+            df.select(F.col("doc_b").alias("d"))
+        )
+        return df.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        ).crossJoin(
+            F.broadcast(
+                docs.agg(
+                    F.countDistinct("d").cast("bigint").alias("n_docs_flagged")
+                )
+            )
+        )
+
+    near = pair_stats(QUERIES["llm_dedup_near"](spark, sf_dir), "near")
+    fuzzy = pair_stats(QUERIES["llm_dedup_fuzzy"](spark, sf_dir), "fuzzy")
+    return exact.unionAll(near).unionAll(fuzzy)
