@@ -135,3 +135,32 @@ def sub_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (the max is one of the compared values, bit-identical)."""
     register_views(spark, sf_dir, "orders", "customer")
     return spark.sql(_SUB_ANY_ALL_SPARK)
+
+
+_NOT_IN_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+)
+ORDER BY c_custkey
+"""
+
+
+@query("sub_not_in_nulls", oracle=_NOT_IN_SQL)
+def sub_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a subquery — the three-valued-logic landmine: if the
+    subquery produced a NULL, standard SQL makes the whole NOT IN yield
+    UNKNOWN (empty result). Both engines implement this via a null-aware
+    anti-join (Spark: NULL-aware single-column NAAJ), NOT a plain
+    anti-join; this key pins that semantic on shared SQL text, so a naive
+    left_anti rewrite (which keeps rows a NULL should eliminate) would
+    hash-mismatch.
+
+    Scale shape: a null-aware anti-join broadcasts the build side's
+    null-flag + key set; same cost class as a semi-join. When the build
+    side is known null-free, prefer NOT EXISTS (plain anti-join,
+    cheaper) — `sub_exists` shows that path.
+    """
+    register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(_NOT_IN_SQL)

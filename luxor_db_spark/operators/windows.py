@@ -629,3 +629,61 @@ def ts_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_purchase").alias("t_purchase"),
         )
     )
+
+
+@query(
+    "win_max_concurrent",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type, ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 5 MINUTE, -1 FROM events
+    ),
+    run AS (
+      SELECT event_type, t, delta,
+             SUM(delta) OVER (PARTITION BY event_type
+                              ORDER BY t, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS concurrent
+      FROM bounds
+    )
+    SELECT event_type,
+           CAST(MAX(concurrent) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY event_type
+    """,
+)
+def win_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum concurrency per series — the license-seat / connection-pool
+    / peak-load question: treat each event as a 5-minute interval, emit
+    +1/−1 boundary rows, running-sum them in time order, take the peak.
+    The classic sweep-line rewrite that answers interval-overlap maxima
+    without any self-join.
+
+    Determinism: the tie order at identical timestamps is pinned
+    (+1 before −1 via `delta DESC`), so a touching end/start pair counts
+    as overlapping in both engines — the inclusive-bounds convention,
+    applied identically.
+
+    Scale shape: 2 rows per event through ONE (event_type) window sort,
+    then a map-combinable max — no interval self-join, no quadratic
+    corner, any series skew costs sort time only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = starts.unionAll(ends).select(
+        "event_type", F.sum("delta").over(w).alias("concurrent")
+    )
+    return run.groupBy("event_type").agg(
+        F.max("concurrent").cast("bigint").alias("max_concurrent")
+    )
