@@ -130,7 +130,7 @@ _LATE_FRESH: frozenset[str] = frozenset(
     win_bollinger fn_haversine llm_mix_temperature scan_file_metadata
     llm_rrf_hybrid ts_acf stream_windowed_topk fn_uuid5 sink_zorder
     agg_countmin profile_table agg_hll_merge llm_dedup_report
-    win_max_concurrent sub_not_in_nulls
+    win_max_concurrent sub_not_in_nulls graph_cc_two_phase
     """.split()
 )
 

@@ -130,3 +130,102 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         F.col("node").alias("nation_key"), F.round("r", 6).alias("pagerank")
     )
+
+
+_CC_ORACLE = """
+    WITH RECURSIVE pairs AS (
+      SELECT doc_id % 97 AS a, (doc_id * 7) % 97 AS b
+      FROM documents WHERE doc_id % 97 <> (doc_id * 7) % 97
+    ),
+    und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS n FROM und),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (SELECT a AS n, MIN(b) AS min_reach FROM reach GROUP BY a)
+    SELECT CAST(nodes.n AS BIGINT) AS node,
+           CAST(LEAST(comp.min_reach, nodes.n) AS BIGINT) AS component
+    FROM nodes JOIN comp ON nodes.n = comp.n
+"""
+
+
+@query("graph_cc_two_phase", oracle=_CC_ORACLE)
+def graph_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the heavy-duty CC for graphs whose diameter or skew makes
+    plain label propagation slow: each round rewires edges toward local
+    minima, collapsing long paths in O(log n) rounds instead of
+    O(diameter), and every step is a plain groupBy/join (no driver-side
+    graph state).
+
+    Graph: a deterministic functional graph on 97 nodes (u → 7u mod 97)
+    derived from doc_ids — cycles and long chains, exactly the topology
+    where two-phase beats propagation. Oracle: recursive-CTE transitive
+    closure, so the algorithm swap is externally checked against the
+    same component definition `llm_dedup_cluster` uses.
+
+    Scale shape: both phases shuffle only (node, neighbor) pairs grouped
+    by node; the per-round fixpoint metric is one scalar. Edges
+    localCheckpoint per round (lineage truncation, as dedup_cluster).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select(
+            (F.col("doc_id") % 97).alias("a"),
+            ((F.col("doc_id") * 7) % 97).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    edges = pairs.localCheckpoint(eager=True)
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        bi = e.select("a", "b").union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        if not large:
+            # small-star operates on edges pointed toward the smaller id
+            bi = bi.filter(F.col("b") <= F.col("a"))
+        m = bi.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        joined = bi.join(m, "a")
+        if large:
+            out = joined.filter(F.col("b") > F.col("a")).select(
+                F.col("b").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            out = joined.select(
+                F.col("b").alias("a"), F.col("m").alias("b")
+            ).union(m.select(F.col("a"), F.col("m").alias("b")))
+        return out.filter(F.col("a") != F.col("b")).distinct()
+
+    for _ in range(12):
+        new_edges = _star(_star(edges, large=True), large=False)
+        new_edges = new_edges.localCheckpoint(eager=True)
+        changed = (
+            new_edges.exceptAll(edges).count()
+            + edges.exceptAll(new_edges).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+
+    nodes = pairs.select(F.col("a").alias("n")).union(
+        pairs.select(F.col("b").alias("n"))
+    ).distinct()
+    roots = edges.groupBy("a").agg(F.min("b").alias("root"))
+    # After convergence every non-root points at its component min; roots
+    # (and isolated nodes, absent here) label themselves.
+    return (
+        nodes.join(roots, nodes.n == roots.a, "left")
+        .select(
+            F.col("n").cast("bigint").alias("node"),
+            F.coalesce(F.col("root"), F.col("n"))
+            .cast("bigint")
+            .alias("component"),
+        )
+    )
