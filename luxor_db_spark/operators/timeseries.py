@@ -978,3 +978,133 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         F.round(acf, 4).alias("acf"),
     )
+
+
+@query(
+    "ts_mann_kendall",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(14,2)) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    p AS (
+      SELECT a.event_type,
+             CASE WHEN b.v > a.v THEN 1
+                  WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type AND a.h < b.h
+    )
+    SELECT event_type,
+           CAST(SUM(sgn) AS BIGINT) AS s_stat,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CASE WHEN SUM(sgn) > 0 THEN 'increasing'
+                WHEN SUM(sgn) < 0 THEN 'decreasing'
+                ELSE 'no trend' END AS trend
+    FROM p GROUP BY event_type
+    """,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend statistic per series: S = Σ sign(v_j − v_i)
+    over all hour pairs i<j — the nonparametric monotone-trend detector
+    (robust to outliers and missing hours, no distribution assumption).
+
+    Exactness: hourly sums are exact DECIMAL(14,2), so every pairwise
+    sign is exact and S is an integer — no floats anywhere.
+
+    Scale shape: the pair join runs on the GRANULARITY-BOUNDED hourly
+    grid (hours-in-range × n_series rows, independent of event volume),
+    keyed by series — the same bounded self-join family as
+    ts_correlation. The event-volume work is one map-combinable rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(F.col("value").cast(DEC)).cast("decimal(14,2)").alias("v")
+    )
+    a, b = hourly.alias("a"), hourly.alias("b")
+    sgn = (
+        F.when(F.col("b.v") > F.col("a.v"), 1)
+        .when(F.col("b.v") < F.col("a.v"), -1)
+        .otherwise(0)
+    )
+    p = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.h") < F.col("b.h")),
+    ).select(F.col("a.event_type").alias("event_type"), sgn.alias("sgn"))
+    s = F.sum("sgn")
+    return p.groupBy("event_type").agg(
+        s.cast("bigint").alias("s_stat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.when(s > 0, "increasing")
+        .when(s < 0, "decreasing")
+        .otherwise("no trend")
+        .alias("trend"),
+    )
+
+
+@query(
+    "win_drawdown",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(14,2)) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    c AS (
+      SELECT event_type, h,
+             SUM(v) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hourly
+    ),
+    d AS (
+      SELECT event_type, h, cum,
+             MAX(cum) OVER (PARTITION BY event_type ORDER BY h
+                            ROWS UNBOUNDED PRECEDING) AS peak
+      FROM c
+    )
+    SELECT event_type,
+           CAST(MAX(peak - cum) AS DOUBLE) AS max_drawdown,
+           CAST(MAX(peak) AS DOUBLE) AS peak_value
+    FROM d GROUP BY event_type
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series: largest peak-to-trough fall of the
+    running (cumulative) value — THE risk statistic for any cumulative
+    metric (P&L, capacity headroom, error budgets).
+
+    Exactness: the cumulative sum, its running max, and their difference
+    all stay exact DECIMAL; only the final report casts to double.
+
+    Scale shape: two stacked windows over the SAME (event_type, h) sort —
+    Catalyst evaluates both in one window stage after the hourly rollup's
+    single shuffle; the grid is granularity-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(F.col("value").cast(DEC)).cast("decimal(14,2)").alias("v")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = hourly.select(
+        "event_type", "h", F.sum("v").over(w).alias("cum")
+    )
+    d = c.select(
+        "event_type",
+        F.col("cum"),
+        F.max("cum").over(w).alias("peak"),
+    )
+    return d.groupBy("event_type").agg(
+        F.max(F.col("peak") - F.col("cum"))
+        .cast("double")
+        .alias("max_drawdown"),
+        F.max("peak").cast("double").alias("peak_value"),
+    )
