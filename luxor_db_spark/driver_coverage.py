@@ -131,7 +131,7 @@ _LATE_FRESH: frozenset[str] = frozenset(
     llm_rrf_hybrid ts_acf stream_windowed_topk fn_uuid5 sink_zorder
     agg_countmin profile_table agg_hll_merge llm_dedup_report
     win_max_concurrent sub_not_in_nulls graph_cc_two_phase
-    ts_mann_kendall win_drawdown
+    ts_mann_kendall win_drawdown ts_burst_detect ts_wow_change fn_luhn
     """.split()
 )
 

@@ -781,3 +781,66 @@ def fn_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(hx, 21, 12),
     )
     return d.select("doc_id", stable.alias("stable_id"))
+
+
+def _luhn_terms_duck() -> str:
+    # pan has 16 fixed digit positions; from the right, double every 2nd.
+    terms = []
+    for i in range(1, 17):
+        d = f"CAST(substr(pan, {i}, 1) AS INT)"
+        if (16 - i) % 2 == 1:  # doubled positions
+            terms.append(f"(CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END)")
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+@query(
+    "fn_luhn",
+    oracle=f"""
+    WITH p AS (
+      SELECT o_orderkey,
+             lpad(CAST((o_orderkey * 2654435761) % 10000000000000000
+                       AS VARCHAR), 16, '0') AS pan
+      FROM orders
+    )
+    SELECT o_orderkey, pan,
+           CAST(({_luhn_terms_duck()}) AS INT) AS luhn_sum,
+           (({_luhn_terms_duck()}) % 10 = 0) AS is_valid
+    FROM p
+    """,
+)
+def fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum validation over synthesized 16-digit account numbers
+    — the detector behind credit-card/IMEI PII scanning (a 16-digit
+    string is only reportable PII if its Luhn check passes; validating
+    first cuts false positives by ~10×, complementing `llm_pii_scrub`'s
+    pattern-only matching).
+
+    The mod-10 double-every-second-digit sum unrolls to 16 fixed digit
+    expressions — pure integer arithmetic in whole-stage codegen,
+    bit-identical in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pan = F.lpad(
+        ((F.col("o_orderkey") * 2654435761) % 10000000000000000).cast(
+            "string"
+        ),
+        16,
+        "0",
+    )
+    p = o.select("o_orderkey", pan.alias("pan"))
+    total = None
+    for i in range(1, 17):
+        d = F.substring("pan", i, 1).cast("int")
+        if (16 - i) % 2 == 1:
+            term = F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        else:
+            term = d
+        total = term if total is None else total + term
+    return p.select(
+        "o_orderkey",
+        "pan",
+        total.cast("int").alias("luhn_sum"),
+        ((total % 10) == 0).alias("is_valid"),
+    )

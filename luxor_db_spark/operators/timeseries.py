@@ -1108,3 +1108,135 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_drawdown"),
         F.max("peak").cast("double").alias("peak_value"),
     )
+
+
+@query(
+    "ts_burst_detect",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    base AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+             COUNT(*) AS n_hours
+      FROM hourly GROUP BY event_type
+    ),
+    flagged AS (
+      SELECT h.event_type, h.h, h.n,
+             CAST(h.n AS DOUBLE) * b.n_hours / b.total AS rate_ratio
+      FROM hourly h JOIN base b ON h.event_type = b.event_type
+      WHERE CAST(h.n AS DOUBLE) * b.n_hours / b.total >= 1.5
+    ),
+    isl AS (
+      SELECT event_type, h, n, rate_ratio,
+             h - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+                 * INTERVAL 1 HOUR AS grp
+      FROM flagged
+    )
+    SELECT event_type,
+           MIN(h) AS burst_start, MAX(h) AS burst_end,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           ROUND(MAX(rate_ratio), 4) AS peak_ratio
+    FROM isl GROUP BY event_type, grp
+    """,
+)
+def ts_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: hours whose event rate is ≥1.5× the series'
+    baseline, merged into contiguous burst INTERVALS (gaps-and-islands)
+    with duration, volume and peak intensity — the incident/trending
+    detector (Kleinberg-style two-state approximation).
+
+    Determinism: rates are ratios of exact integers with identical
+    expression shape; the island key subtracts row_number hours from the
+    hour timestamp — exact timestamp arithmetic in both engines.
+
+    Scale shape: events collapse to the hourly grid map-side; baseline
+    totals aggregate THAT; flag + islands run per series on the bounded
+    grid. One fact shuffle, everything else granularity-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = hourly.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    ratio = F.col("n").cast("double") * F.col("n_hours") / F.col("total")
+    flagged = (
+        hourly.join(F.broadcast(base), "event_type")
+        .withColumn("rate_ratio", ratio)
+        .filter(F.col("rate_ratio") >= 1.5)
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    isl = flagged.select(
+        "event_type",
+        "h",
+        "n",
+        "rate_ratio",
+        (
+            F.col("h").cast("timestamp")
+            - F.make_interval(hours=F.row_number().over(w))
+        ).alias("grp"),
+    )
+    return isl.groupBy("event_type", "grp").agg(
+        F.min("h").alias("burst_start"),
+        F.max("h").alias("burst_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.round(F.max("rate_ratio"), 4).alias("peak_ratio"),
+    ).drop("grp")
+
+
+@query(
+    "ts_wow_change",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS v
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    wow AS (
+      SELECT event_type, d, v,
+             LAG(v, 7) OVER (PARTITION BY event_type ORDER BY d) AS v_prev
+      FROM daily
+    )
+    SELECT event_type, d, CAST(v AS DOUBLE) AS v,
+           CAST(v_prev AS DOUBLE) AS v_prev,
+           ROUND((CAST(v AS DOUBLE) - CAST(v_prev AS DOUBLE))
+                 / CAST(v_prev AS DOUBLE) * 100, 4) AS pct_wow
+    FROM wow WHERE v_prev IS NOT NULL
+    """,
+)
+def ts_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week percent change of each series' daily total — the
+    growth/regression metric every operational dashboard leads with,
+    computed against the same weekday (LAG 7 on the daily grid) so
+    weekly seasonality cancels.
+
+    Determinism: daily totals are exact DECIMAL; the percent change is
+    one double expression of exact inputs, ROUND 4.
+
+    Scale shape: map-combinable daily rollup, then one (event_type)
+    window over the date-bounded grid.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast(DEC)).cast("decimal(18,2)").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    wow = daily.withColumn("v_prev", F.lag("v", 7).over(w)).filter(
+        F.col("v_prev").isNotNull()
+    )
+    vd, pd_ = F.col("v").cast("double"), F.col("v_prev").cast("double")
+    return wow.select(
+        "event_type",
+        "d",
+        vd.alias("v"),
+        pd_.alias("v_prev"),
+        F.round((vd - pd_) / pd_ * 100, 4).alias("pct_wow"),
+    )
