@@ -2508,3 +2508,70 @@ def llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = pair_stats(QUERIES["llm_dedup_near"](spark, sf_dir), "near")
     fuzzy = pair_stats(QUERIES["llm_dedup_fuzzy"](spark, sf_dir), "fuzzy")
     return exact.unionAll(near).unionAll(fuzzy)
+
+
+@query(
+    "llm_dedup_prefix",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, {_NORM_DUCK} AS norm,
+             length({_NORM_DUCK}) AS len
+      FROM documents
+    ),
+    b AS (SELECT doc_id, norm, len, substr(norm, 1, 50) AS blk FROM n)
+    SELECT s.doc_id AS short_doc, l.doc_id AS long_doc,
+           CAST(s.len AS BIGINT) AS short_len,
+           CAST(l.len AS BIGINT) AS long_len
+    FROM b s JOIN b l
+      ON s.blk = l.blk
+     AND (s.len < l.len OR (s.len = l.len AND s.doc_id < l.doc_id))
+    WHERE substr(l.norm, 1, s.len) = s.norm
+    """,
+)
+def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate detection: pairs where one document's full
+    normalized text is a PREFIX of another's — the crawl artifact
+    (re-fetches cut at different content-lengths) that shingle Jaccard
+    under-scores (a 50%-truncated copy has Jaccard ≈ 0.5) and exact
+    fingerprints miss entirely.
+
+    Blocking: candidates must share their first 50 normalized chars, so
+    the join is an equi-join on the prefix block; the containment test
+    then compares the shorter text against the longer one's prefix.
+    Ties (equal length = exact dup) keep the lower doc_id as 'short'.
+
+    Scale shape: one equi-join shuffle keyed by the 50-char block; the
+    full text moves only for rows that share a block (rare), and the
+    containment check is a substring compare, not an edit distance.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.expr(_NORM)
+    b = d.select(
+        "doc_id",
+        norm.alias("norm"),
+        F.length(norm).alias("len"),
+        F.substring(norm, 1, 50).alias("blk"),
+    )
+    s, l = b.alias("s"), b.alias("l")
+    return (
+        s.join(
+            l,
+            (F.col("s.blk") == F.col("l.blk"))
+            & (
+                (F.col("s.len") < F.col("l.len"))
+                | (
+                    (F.col("s.len") == F.col("l.len"))
+                    & (F.col("s.doc_id") < F.col("l.doc_id"))
+                )
+            ),
+        )
+        .filter(
+            F.expr("substring(l.norm, 1, s.len)") == F.col("s.norm")
+        )
+        .select(
+            F.col("s.doc_id").alias("short_doc"),
+            F.col("l.doc_id").alias("long_doc"),
+            F.col("s.len").cast("bigint").alias("short_len"),
+            F.col("l.len").cast("bigint").alias("long_len"),
+        )
+    )

@@ -1240,3 +1240,72 @@ def ts_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         pd_.alias("v_prev"),
         F.round((vd - pd_) / pd_ * 100, 4).alias("pct_wow"),
     )
+
+
+@query(
+    "ts_cohort_ltv",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id,
+             CAST(MIN(date_trunc('week', ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT f.cohort_week,
+             CAST((EPOCH(CAST(date_trunc('week', e.ts) AS TIMESTAMP))
+                   - EPOCH(f.cohort_week)) / 604800 AS BIGINT) AS week_offset,
+             SUM(CAST(e.value AS DECIMAL(18,6))) AS wk_rev
+      FROM events e JOIN firstw f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY f.cohort_week, week_offset
+    )
+    SELECT cohort_week, week_offset,
+           CAST(SUM(wk_rev) OVER (PARTITION BY cohort_week
+                                  ORDER BY week_offset
+                                  ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) AS cum_revenue
+    FROM rev
+    """,
+)
+def ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative purchase revenue per
+    signup-week cohort as a function of weeks since first activity — the
+    payback/LTV view product teams read next to the retention triangle
+    (`ts_retention`).
+
+    Determinism: weekly revenue is an exact DECIMAL sum; the cumulative
+    window sums exact DECIMALs (order-independent), casting to double
+    only in the report.
+
+    Scale shape: the cohort assignment is a per-user MIN (map-combinable)
+    broadcast back onto the purchase scan; revenue collapses to the
+    (cohort, offset) grid BEFORE the cumulative window, which runs on
+    that tiny grid partitioned by cohort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    off = (
+        (
+            F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+            - F.unix_timestamp("cohort_week")
+        )
+        / 604800
+    ).cast("bigint")
+    rev = (
+        purchases.join(F.broadcast(firstw), "user_id")
+        .groupBy("cohort_week", off.alias("week_offset"))
+        .agg(F.sum(F.col("value").cast(DEC)).alias("wk_rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        "cohort_week",
+        "week_offset",
+        F.sum("wk_rev").over(w).cast("double").alias("cum_revenue"),
+    )

@@ -314,3 +314,81 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+@query(
+    "mm_tile_plan",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 64 AS INT) AS w,
+             CAST(16 + (doc_id * 7) % 64 AS INT) AS h
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, w, h,
+             CAST((w + 13) // 14 AS INT) AS nx,
+             CAST((h + 13) // 14 AS INT) AS ny
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(tx AS INT) AS tile_x, CAST(ty AS INT) AS tile_y,
+           CAST(tx * 14 AS INT) AS x0,
+           CAST(ty * 14 AS INT) AS y0,
+           CAST(LEAST(14, w - tx * 14) AS INT) AS tile_w,
+           CAST(LEAST(14, h - ty * 14) AS INT) AS tile_h
+    FROM g,
+         unnest(generate_series(0, nx - 1)) AS t1(tx),
+         unnest(generate_series(0, ny - 1)) AS t2(ty)
+    """,
+)
+def mm_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-encoder tiling plan: split each asset's pixel grid into
+    14×14 tiles (edge tiles clipped), emitting per-tile geometry — the
+    patchification step in front of any ViT-style encoder, planned
+    entirely from metadata (dimensions derive from doc_id exactly as
+    `mm_decode_image` recovers them; no pixel data is touched).
+
+    Scale shape: pure JVM sequence+explode — rows out = Σ tiles per
+    asset, no shuffle; the downstream byte-fetch stage would read only
+    each tile's byte range.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    dims = d.select(
+        "doc_id",
+        (16 + F.col("doc_id") % 64).cast("int").alias("w"),
+        (16 + (F.col("doc_id") * 7) % 64).cast("int").alias("h"),
+    )
+    g = dims.select(
+        "doc_id",
+        "w",
+        "h",
+        F.floor((F.col("w") + 13) / 14).cast("int").alias("nx"),
+        F.floor((F.col("h") + 13) / 14).cast("int").alias("ny"),
+    )
+    tiled = g.select(
+        "doc_id",
+        "w",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.col("nx") - 1)).alias("tile_x"),
+        "ny",
+    ).select(
+        "doc_id",
+        "w",
+        "h",
+        "tile_x",
+        F.explode(F.sequence(F.lit(0), F.col("ny") - 1)).alias("tile_y"),
+    )
+    return tiled.select(
+        "doc_id",
+        F.col("tile_x").cast("int").alias("tile_x"),
+        F.col("tile_y").cast("int").alias("tile_y"),
+        (F.col("tile_x") * 14).cast("int").alias("x0"),
+        (F.col("tile_y") * 14).cast("int").alias("y0"),
+        F.least(F.lit(14), F.col("w") - F.col("tile_x") * 14)
+        .cast("int")
+        .alias("tile_w"),
+        F.least(F.lit(14), F.col("h") - F.col("tile_y") * 14)
+        .cast("int")
+        .alias("tile_h"),
+    )
