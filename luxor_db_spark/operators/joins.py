@@ -535,3 +535,63 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("a_id") < F.col("b_id")) & (d2 <= 25))
         .select("a_id", "b_id", d2.cast("bigint").alias("dist2"))
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, ts, user_id FROM events
+      WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      SELECT e.event_id, e.ts, e.user_id, o.o_orderdate,
+             ABS(CAST(FLOOR(EPOCH(e.ts)) AS BIGINT)
+                 - CAST(FLOOR(EPOCH(o.o_orderdate)) AS BIGINT)) AS gap
+      FROM ev e JOIN orders o ON e.user_id = o.o_custkey
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                   ORDER BY gap, o_orderdate) AS rn
+      FROM cand
+    )
+    SELECT event_id, ts, user_id,
+           o_orderdate AS nearest_order_date,
+           CAST(gap AS BIGINT) AS gap_seconds
+    FROM rk WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: for each purchase event, the order
+    (same user) whose date is CLOSEST in time — either side. The
+    direction='nearest' variant of `join_asof` (backward-only), the
+    semantics feature stores use for aligning slowly-changing attributes
+    to event time when staleness in either direction is acceptable.
+
+    Determinism: the gap is exact integer seconds (both timestamps are
+    µs-precision wall times in UTC); ties on the gap break toward the
+    EARLIER order date via the (gap, date) ordered min — pinned
+    identically in both engines (Spark: min over an ordered struct,
+    DuckDB: MIN_BY with a tuple key).
+
+    Scale shape: identical to join_asof — equi-join on the user key, then
+    an arg-min rollup keeps one row per probe after local combine; no
+    range explosion, no sort-merge over time.
+    """
+    t = tables(spark, sf_dir, "events", "orders")
+    ev = t.events.filter(F.col("event_type") == "purchase")
+    gap = F.abs(
+        F.unix_timestamp(ev.ts) - F.unix_timestamp(t.orders.o_orderdate)
+    )
+    j = ev.join(t.orders, ev.user_id == t.orders.o_custkey).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "o_orderdate",
+        gap.alias("gap"),
+    )
+    best = F.min(F.struct(F.col("gap"), F.col("o_orderdate")))
+    return j.groupBy("event_id", "ts", "user_id").agg(
+        best.getField("o_orderdate").alias("nearest_order_date"),
+        F.min("gap").cast("bigint").alias("gap_seconds"),
+    )

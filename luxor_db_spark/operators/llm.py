@@ -2575,3 +2575,84 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l.len").cast("bigint").alias("long_len"),
         )
     )
+
+
+@query(
+    "llm_repetition_filter",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+      FROM tok, unnest(generate_series(1, len(t) - 1)) AS s(i)
+      WHERE len(t) >= 2
+    ),
+    c AS (
+      SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY doc_id, b
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_bigrams,
+             CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+             CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+               AS dup_bigram_n
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           ROUND(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 4) AS top_ratio,
+           ROUND(CAST(dup_bigram_n AS DOUBLE) / n_bigrams, 4) AS dup_ratio,
+           (CAST(top_bigram_n AS DOUBLE) / n_bigrams <= 0.08
+            AND CAST(dup_bigram_n AS DOUBLE) / n_bigrams <= 0.6) AS keep
+    FROM agg
+    """,
+)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering — the Gopher/C4 rule family:
+    documents dominated by a single repeated bigram (top-bigram ratio
+    > 0.08) or built mostly of duplicated bigrams (duplicate-bigram mass
+    > 0.6) are boilerplate/spam and get dropped before training. Emits
+    the ratios plus the keep verdict so thresholds stay auditable.
+
+    Determinism: both ratios are integer-count divisions, ROUND 4; the
+    keep predicate compares the same doubles on both sides.
+
+    Scale shape: bigram counts aggregate on (doc_id, bigram) — text
+    never leaves its partition after the explode; the verdict is a
+    per-doc rollup of that aggregate. Same cost family as
+    `llm_bigram_lm_score`, sharable in one pass in a fused pipeline.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    bg = (
+        d.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(F.slice("t", 1, F.size("t") - 1)).alias("i", "w1"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("w1"), F.element_at("t", F.col("i") + 2)
+            ).alias("b"),
+        )
+    )
+    c = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
+    agg = c.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_bigrams"),
+        F.max("n").cast("bigint").alias("top_bigram_n"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_bigram_n"),
+    )
+    top_ratio = F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
+    dup_ratio = F.col("dup_bigram_n").cast("double") / F.col("n_bigrams")
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(top_ratio, 4).alias("top_ratio"),
+        F.round(dup_ratio, 4).alias("dup_ratio"),
+        ((top_ratio <= 0.08) & (dup_ratio <= 0.6)).alias("keep"),
+    )
