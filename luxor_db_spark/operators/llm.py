@@ -2656,3 +2656,65 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_ratio, 4).alias("dup_ratio"),
         ((top_ratio <= 0.08) & (dup_ratio <= 0.6)).alias("keep"),
     )
+
+
+@query(
+    "llm_near_dup_eval",
+    oracle=f"""
+    WITH truth AS ({_NEAR_PAIRS_DUCK.replace("SELECT doc_a, doc_b",
+                                             "SELECT doc_a, doc_b", 1)}),
+    cand AS ({_minhash_lsh_oracle()}),
+    tp AS (
+      SELECT COUNT(*) AS n FROM cand c
+      JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    ),
+    nc AS (SELECT COUNT(*) AS n FROM cand),
+    nt AS (SELECT COUNT(*) AS n FROM truth)
+    SELECT CAST(nc.n AS BIGINT) AS n_candidates,
+           CAST(nt.n AS BIGINT) AS n_truth,
+           CAST(tp.n AS BIGINT) AS n_true_positive,
+           ROUND(CAST(tp.n AS DOUBLE) / nc.n, 4) AS precision,
+           ROUND(CAST(tp.n AS DOUBLE) / nt.n, 4) AS recall
+    FROM tp, nc, nt
+    """,
+)
+def llm_near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for the approximate dedup path: MinHash-LSH
+    candidate pairs (`llm_minhash_lsh`) scored against the exact-Jaccard
+    ground truth (`llm_dedup_near`) — precision and recall of the
+    sub-quadratic path, as one auditable row. This is the measurement
+    that justifies replacing the exact join at 100 TB: recall tells you
+    what the banding misses, precision what the verifier stage must
+    re-check. COMPOSES the two registered operators.
+
+    Scale shape: both inputs keep their own bounded shapes; the metric
+    join runs on candidate-pair grain with 1-row aggregates broadcast.
+    """
+    from luxor_db_spark.registry import QUERIES
+
+    truth = QUERIES["llm_dedup_near"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    cand = QUERIES["llm_minhash_lsh"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    tp = cand.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_tp")
+    )
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        nc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            F.col("n_cand").cast("bigint").alias("n_candidates"),
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.col("n_tp").cast("bigint").alias("n_true_positive"),
+            F.round(
+                F.col("n_tp").cast("double") / F.col("n_cand"), 4
+            ).alias("precision"),
+            F.round(
+                F.col("n_tp").cast("double") / F.col("n_truth"), 4
+            ).alias("recall"),
+        )
+    )

@@ -1309,3 +1309,56 @@ def ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_offset",
         F.sum("wk_rev").over(w).cast("double").alias("cum_revenue"),
     )
+
+
+@query(
+    "ts_gap_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+             - CAST(FLOOR(EPOCH(LAG(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)))
+                    AS BIGINT) AS gap_s
+      FROM events
+    ),
+    f AS (SELECT user_id, gap_s FROM g WHERE gap_s IS NOT NULL)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+           ROUND(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM f GROUP BY user_id
+    """,
+)
+def ts_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per user (median / p90 / max of
+    seconds between consecutive events) — the analysis that CALIBRATES
+    every gap-threshold operator here: `ts_sessionize`'s 30-minute cut
+    and `stream_session`'s session window should sit in the valley
+    between p90 intra-session gaps and typical between-session gaps.
+
+    Determinism: gaps are exact integer seconds (floored epochs, tie
+    order pinned by event_id); the exact interpolated percentile is the
+    same linear rule in both engines over integer inputs, ROUND 4.
+
+    Scale shape: one (user_id) window for the LAG, then a per-user
+    aggregate on the same partitioning — single shuffle. Exact
+    percentiles buffer per-user gap lists; at 100 TB swap in
+    approx_percentile (the `agg_approx_percentile` path).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 4).alias("p50_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 4).alias("p90_gap_s"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+    )
