@@ -2718,3 +2718,57 @@ def llm_near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@query(
+    "llm_dataset_manifest",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             {_HEXD_SQL.format(x="CAST(doc_id AS VARCHAR)", i=1)} AS shard,
+             CAST(('0x' || substr(md5({_NORM_DUCK}), 1, 12)) AS BIGINT)
+               AS content_h
+      FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(content_h) AS BIGINT) AS content_checksum
+    FROM s GROUP BY shard
+    """,
+)
+def llm_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export manifest: per shard (deterministic md5
+    bucketing, as `llm_shard_assign`), the doc/token/byte totals plus an
+    ORDER-INSENSITIVE content checksum (sum of per-doc 48-bit md5
+    prefixes — BIGINT-safe up to ~32k docs/shard; beyond that, fold
+    modulo 2⁶⁰ on both sides) — what a downstream trainer verifies before consuming a
+    delivery, and what makes re-exports diffable shard by shard.
+
+    Determinism: every field is integer arithmetic over md5-derived
+    values — identical across engines, partitionings and retries; the
+    checksum is a SUM, so shard content equality ⇒ checksum equality
+    regardless of row order.
+
+    Scale shape: one map-side-combinable aggregate keyed by shard;
+    the manifest is |shards| rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    content_h = F.conv(
+        F.substring(F.md5(F.expr(_NORM)), 1, 12), 16, 10
+    ).cast("bigint")
+    s = d.select(
+        _hexdigit(key, 1).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        "n_chars",
+        content_h.alias("content_h"),
+    )
+    return s.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum("content_h").cast("bigint").alias("content_checksum"),
+    )

@@ -446,3 +446,44 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zval").alias("zmax"),
         )
     )
+
+
+@query("scan_incremental_files")  # rows-only: mtimes are env-dependent
+def scan_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level incremental batch processing: write a two-delivery
+    landing dir, then process ONLY files modified after the first
+    delivery's high-water mark, using the `_metadata.file_modification_time`
+    hidden column — the batch complement to streaming's checkpoint log
+    (reprocessing window = files newer than the last successful run).
+
+    Returns per-file (file_name, n_rows, is_new) with is_new=true only
+    for the second delivery — asserting the watermark actually filters.
+
+    Scale shape: the mtime predicate is evaluated on FILE metadata before
+    row decoding (constant per split), so old deliveries cost directory
+    listing only, not I/O.
+    """
+    import time
+
+    o = load_table(spark, sf_dir, "orders").limit(400)
+    out = _tmpdir("scan_incremental")
+    o.limit(200).write.mode("overwrite").parquet(f"{out}/d1")
+    time.sleep(1.1)  # ensure distinct mtimes across deliveries
+    o.write.mode("append").parquet(f"{out}/d2")
+
+    all_files = spark.read.parquet(f"{out}/d1", f"{out}/d2")
+    hwm = all_files.select(
+        F.max(F.when(
+            F.col("_metadata.file_path").contains("/d1/"),
+            F.col("_metadata.file_modification_time"),
+        )).alias("hwm")
+    ).collect()[0].hwm  # one scalar: the last-successful-run watermark
+    fresh = F.col("_metadata.file_modification_time") > F.lit(hwm)
+    return (
+        all_files.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            fresh.alias("is_new"),
+        )
+        .groupBy("file_name", "is_new")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
