@@ -134,7 +134,8 @@ _LATE_FRESH: frozenset[str] = frozenset(
     ts_mann_kendall win_drawdown ts_burst_detect ts_wow_change fn_luhn
     llm_dedup_prefix ts_cohort_ltv mm_tile_plan llm_repetition_filter
     join_asof_nearest llm_near_dup_eval ts_gap_stats
-    llm_dataset_manifest scan_incremental_files
+    llm_dataset_manifest scan_incremental_files ts_outlier_mad
+    agg_weighted_median
     """.split()
 )
 

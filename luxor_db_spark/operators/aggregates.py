@@ -931,3 +931,71 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_rows").cast("bigint").alias("n_rows"),
     )
     return typed.unionAll(merged)
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS grp,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             CAST(o_orderkey % 5 + 1 AS BIGINT) AS wt
+      FROM orders
+    ),
+    c AS (
+      SELECT grp, price, wt,
+             SUM(wt) OVER (PARTITION BY grp
+                           ORDER BY price, wt
+                           ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(wt) OVER (PARTITION BY grp) AS totw
+      FROM r
+    ),
+    pick AS (
+      SELECT grp, price,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY price, wt) AS rn
+      FROM c WHERE cumw * 2 >= totw
+    )
+    SELECT grp, CAST(price AS DOUBLE) AS weighted_median
+    FROM pick WHERE rn = 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group: the smallest value whose cumulative
+    weight reaches half the total — the order statistic for 'median
+    price weighted by units sold' style questions that a plain median
+    answers wrongly (weights synthesized deterministically 1–5).
+
+    Determinism: weights and cumulative sums are exact integers/DECIMAL;
+    the crossing point is found by integer comparison (cumw·2 ≥ totw —
+    no division), ties pinned by (price, wt) order.
+
+    Scale shape: one (group) window sort computes the cumulative and the
+    total together; the crossing pick is a group-limit window on rows
+    already past the threshold. No buffering beyond the window sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    r = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        (F.col("o_orderkey") % 5 + 1).cast("bigint").alias("wt"),
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("price", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("grp")
+    c = r.select(
+        "grp",
+        "price",
+        "wt",
+        F.sum("wt").over(wcum).alias("cumw"),
+        F.sum("wt").over(wall).alias("totw"),
+    )
+    wpick = Window.partitionBy("grp").orderBy("price", "wt")
+    pick = c.filter(F.col("cumw") * 2 >= F.col("totw")).select(
+        "grp", "price", F.row_number().over(wpick).alias("rn")
+    )
+    return pick.filter(F.col("rn") == 1).select(
+        "grp", F.col("price").cast("double").alias("weighted_median")
+    )

@@ -1362,3 +1362,63 @@ def ts_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_s, 0.9)"), 4).alias("p90_gap_s"),
         F.max("gap_s").cast("bigint").alias("max_gap_s"),
     )
+
+
+@query(
+    "ts_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             quantile_cont(ABS(e.value - m.med), 0.5) AS mad, m.med
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - m.med) / (1.4826 * m.mad), 4) AS robust_z
+    FROM events e JOIN mad m ON e.event_type = m.event_type
+    WHERE ABS(e.value - m.med) > 3 * 1.4826 * m.mad
+    """,
+)
+def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation: flag
+    events beyond 3 robust standard deviations (MAD × 1.4826) from the
+    per-series median — the detector that, unlike z-scores
+    (`ts_anomaly`), is NOT corrupted by the very outliers it hunts
+    (median and MAD have 50% breakdown; mean/stddev have 0%).
+
+    Determinism: the exact interpolated median is the same linear rule in
+    both engines; the robust-z expression has identical shape, ROUND 4;
+    the flag threshold compares the same doubles.
+
+    Scale shape: two sketch-then-broadcast passes (per-type median, then
+    per-type MAD of residuals) — the stats grain is |types|, broadcast
+    back onto the scan both times, so events never shuffle. Exact
+    medians buffer per-type values; approx_percentile is the 100 TB
+    drop-in.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.expr("percentile(ABS(value - med), 0.5)").alias("mad")
+        )
+    )
+    j = ev.join(F.broadcast(mad), "event_type")
+    return j.filter(
+        F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
+    ).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(
+            (F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 4
+        ).alias("robust_z"),
+    )
