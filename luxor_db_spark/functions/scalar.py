@@ -844,3 +844,46 @@ def fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.cast("int").alias("luhn_sum"),
         ((total % 10) == 0).alias("is_valid"),
     )
+
+
+@query(
+    "fn_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+             AS plus_3mo,
+           CAST(CAST(o_orderdate AS DATE) - INTERVAL 45 DAY AS DATE)
+             AS minus_45d,
+           CAST(date_diff('month', CAST(o_orderdate AS DATE),
+                          DATE '2000-01-01') AS INT) AS months_to_y2k,
+           make_date(CAST(YEAR(o_orderdate) AS INT), 12, 31) AS year_end,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          make_date(CAST(YEAR(o_orderdate) AS INT), 12, 31))
+                AS INT) AS days_left_in_year
+    FROM orders
+    """,
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic: month/day offsets, whole-month
+    differences, and component-wise date construction — the billing /
+    fiscal-period family (§2.8 date coverage beyond extraction).
+
+    Dialect note: Spark's months_between returns fractional months — the
+    oracle's date_diff('month') counts month-boundary crossings, so the
+    Spark side reproduces that boundary-count semantic from (year, month)
+    components instead (exact integers, no float compare).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    months_to_y2k = (
+        (2000 - F.year(d)) * 12 + (1 - F.month(d))
+    ).cast("int")
+    year_end = F.make_date(F.year(d), F.lit(12), F.lit(31))
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus_3mo"),
+        F.date_sub(d, 45).alias("minus_45d"),
+        months_to_y2k.alias("months_to_y2k"),
+        year_end.alias("year_end"),
+        F.datediff(year_end, d).cast("int").alias("days_left_in_year"),
+    )
