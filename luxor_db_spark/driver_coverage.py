@@ -135,7 +135,8 @@ _LATE_FRESH: frozenset[str] = frozenset(
     llm_dedup_prefix ts_cohort_ltv mm_tile_plan llm_repetition_filter
     join_asof_nearest llm_near_dup_eval ts_gap_stats
     llm_dataset_manifest scan_incremental_files ts_outlier_mad
-    agg_weighted_median fn_interval_arith
+    agg_weighted_median fn_interval_arith win_percent_of_total
+    agg_argmax
     """.split()
 )
 

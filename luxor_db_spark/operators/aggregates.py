@@ -999,3 +999,56 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pick.filter(F.col("rn") == 1).select(
         "grp", F.col("price").cast("double").alias("weighted_median")
     )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS grp, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    ),
+    rk AS (
+      SELECT grp, o_orderkey, price,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY price DESC, o_orderkey) AS rb,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY price ASC, o_orderkey) AS rw
+      FROM r
+    )
+    SELECT b.grp,
+           b.o_orderkey AS top_order, CAST(b.price AS DOUBLE) AS top_price,
+           w.o_orderkey AS bottom_order,
+           CAST(w.price AS DOUBLE) AS bottom_price
+    FROM rk b JOIN rk w ON b.grp = w.grp AND b.rb = 1 AND w.rw = 1
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax/argmin per group: WHICH order carries each
+    priority's highest and lowest price — max_by/arg_max semantics with
+    the tie problem solved (built-in max_by picks an arbitrary row among
+    ties; here ties break on the lower key via ordered-struct extrema,
+    so results are stable across engines, partitionings and retries).
+
+    Scale shape: two ordered-struct aggregates share one map-combinable
+    pass — no window sort, no join; state per group is two structs.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    r = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    # max of (price, -key) == highest price, lowest key among ties;
+    # min of (price, key)  == lowest price, lowest key among ties.
+    best = F.max(F.struct(F.col("price"), (-F.col("o_orderkey")).alias("nk")))
+    worst = F.min(F.struct(F.col("price"), F.col("o_orderkey").alias("k")))
+    return r.groupBy("grp").agg(
+        (-best.getField("nk")).alias("top_order"),
+        best.getField("price").cast("double").alias("top_price"),
+        worst.getField("k").alias("bottom_order"),
+        worst.getField("price").cast("double").alias("bottom_price"),
+    ).select(
+        "grp", "top_order", "top_price", "bottom_order", "bottom_price"
+    )

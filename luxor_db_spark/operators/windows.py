@@ -687,3 +687,55 @@ def win_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy("event_type").agg(
         F.max("concurrent").cast("bigint").alias("max_concurrent")
     )
+
+
+@query(
+    "win_percent_of_total",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS grp, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey < 1000
+    )
+    SELECT grp, o_orderkey,
+           CAST(price AS DOUBLE) AS price,
+           ROUND(CAST(price AS DOUBLE)
+                 / CAST(SUM(price) OVER (PARTITION BY grp) AS DOUBLE) * 100,
+                 4) AS pct_of_group,
+           ROUND(CAST(price AS DOUBLE)
+                 / CAST(SUM(price) OVER () AS DOUBLE) * 100, 4) AS pct_of_total
+    FROM r
+    """,
+)
+def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-group and percent-of-grand-total per row — the
+    share-of-wallet / contribution columns every BI report carries.
+
+    Determinism: both denominators are exact DECIMAL window sums
+    (order-independent); each share is one double division, ROUND 4.
+
+    Scale shape: the group share reuses the (grp) partition; the grand
+    total is an unpartitioned window over a BOUNDED slice here — on full
+    data, compute the 1-row total separately and broadcast it (the
+    win_pareto offsets pattern) instead of a global window.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    r = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    wg = Window.partitionBy("grp")
+    wall = Window.partitionBy()
+    pd_ = F.col("price").cast("double")
+    return r.select(
+        "grp",
+        "o_orderkey",
+        pd_.alias("price"),
+        F.round(
+            pd_ / F.sum("price").over(wg).cast("double") * 100, 4
+        ).alias("pct_of_group"),
+        F.round(
+            pd_ / F.sum("price").over(wall).cast("double") * 100, 4
+        ).alias("pct_of_total"),
+    )
