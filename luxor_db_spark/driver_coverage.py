@@ -85,8 +85,13 @@ def _entry_green(entry: dict) -> bool:
     )
 
 
-def _load_driver_checked() -> dict[str, int]:
-    """Map of driver-green key -> round number in which it last ran green."""
+def _load_driver_checked(max_round: int | None = None) -> dict[str, int]:
+    """Map of driver-green key -> round number in which it last ran green.
+
+    ``max_round`` restricts the ledger to rounds <= it — used to
+    reconstruct the prediction a PAST round's ``queries()`` was built from
+    (the post-round window audit in tests/test_engine.py).
+    """
     green: dict[str, int] = {}
     files = sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json"))
     if not files:
@@ -94,6 +99,8 @@ def _load_driver_checked() -> dict[str, int]:
     for path in files:
         m = re.search(r"r(\d+)", path.name)
         rnd = int(m.group(1)) if m else 0
+        if max_round is not None and rnd > max_round:
+            continue
         try:
             data = json.loads(path.read_text())
         except (OSError, json.JSONDecodeError):
@@ -141,7 +148,9 @@ _LATE_FRESH: frozenset[str] = frozenset(
 )
 
 
-def coverage_order(keys: list[str]) -> list[str]:
+def coverage_order(
+    keys: list[str], ledger: dict[str, int] | None = None
+) -> list[str]:
     """Order keys for the driver: never-green first (registry order), then
     green keys by ascending last-green round (staleness resample order).
 
@@ -151,14 +160,16 @@ def coverage_order(keys: list[str]) -> list[str]:
     a regression in a long-rotated-out key is caught within a few rounds
     instead of never (the local pytest parity mirror remains the per-commit
     regression gate; this is the driver-side backstop)."""
+    if ledger is None:
+        ledger = _LAST_GREEN_ROUND
     order = {k: i for i, k in enumerate(keys)}
     fresh = sorted(
-        (k for k in keys if k not in DRIVER_CHECKED),
+        (k for k in keys if k not in ledger),
         key=lambda k: (k in _LATE_FRESH, order[k]),
     )
     done = sorted(
-        (k for k in keys if k in DRIVER_CHECKED),
-        key=lambda k: (_LAST_GREEN_ROUND.get(k, 0), order[k]),
+        (k for k in keys if k in ledger),
+        key=lambda k: (ledger.get(k, 0), order[k]),
     )
     return fresh + done
 
@@ -168,3 +179,13 @@ def expected_window(keys: list[str]) -> list[str]:
     WINDOW_SIZE of the coverage order). Compare against the actual
     CORRECTNESS_r{N}.json after the round to detect a driver policy change."""
     return coverage_order(keys)[:WINDOW_SIZE]
+
+
+def expected_window_for_round(keys: list[str], rnd: int) -> list[str]:
+    """Reconstruct the window prediction round ``rnd``'s queries() was built
+    from: the ledger as of rounds < rnd, same ordering policy. Valid only
+    while ``keys`` matches that round's registry (the post-round audit runs
+    before new keys are registered; the registry was frozen in r5)."""
+    return coverage_order(keys, _load_driver_checked(max_round=rnd - 1))[
+        :WINDOW_SIZE
+    ]

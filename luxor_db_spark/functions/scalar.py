@@ -311,16 +311,22 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("fn_map")  # rows-only: map hashing across engines is unreliable (§2.8)
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON props → MapType: keys/values/lookup (map ordering prevents a
-    stable cross-engine hash, so rows-only by contract)."""
+    """JSON props → MapType: keys/values/lookup/size, exercised through the
+    full MapType surface but PROJECTED TO SCALARS in the output (map
+    ordering prevents a stable cross-engine hash → rows-only; and the
+    driver canonicalizes even rows-only outputs via a pandas sort that
+    cannot hash map/array cells — r4 driver crash, §7.3 shape contract:
+    no Array/Map/Struct/Binary column in any registered output)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
     m = F.from_json(F.col("props"), "map<string,int>")
     return ev.select(
         "event_id",
-        m.alias("props_map"),
-        F.map_keys(m).alias("keys"),
-        F.map_values(m).alias("vals"),
         m["k"].alias("k_val"),
+        F.size(m).alias("n_entries"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("vals_sum"),
     )
 
 
@@ -503,19 +509,25 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            to_base64(ENCODE(lang)) AS b64,
-           ENCODE(lang) AS raw_bytes
+           hex(ENCODE(lang)) AS hex_bytes,
+           decode(from_base64(to_base64(ENCODE(lang)))) AS roundtrip
     FROM documents WHERE doc_id < 100
     """,
 )
 def fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Base64 encode round-trip (Spark base64/unbase64 ≡ DuckDB
-    to_base64/from_base64 over UTF-8 bytes) — the binary-safe transport
-    encoding for payload columns in JSON/CSV exports."""
+    """Base64/hex encode round-trip (Spark base64/unbase64/hex ≡ DuckDB
+    to_base64/from_base64/hex over UTF-8 bytes) — the binary-safe transport
+    encoding for payload columns in JSON/CSV exports. The raw BinaryType
+    column is hex-encoded to a string: the driver comparator canonicalizes
+    via a pandas sort that cannot hash bytearray cells (r4 driver crash),
+    so no registered output may carry BinaryType (§7.3 shape contract)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    raw = F.encode("lang", "utf-8")
     return d.select(
         "doc_id",
-        F.base64(F.encode("lang", "utf-8")).alias("b64"),
-        F.encode("lang", "utf-8").alias("raw_bytes"),
+        F.base64(raw).alias("b64"),
+        F.hex(raw).alias("hex_bytes"),
+        F.decode(F.unbase64(F.base64(raw)), "utf-8").alias("roundtrip"),
     )
 
 

@@ -1343,18 +1343,24 @@ def llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                   y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS nrm
       FROM embeddings
     )
-    SELECT vec_id, dim, ROUND(x / nrm, 4) AS unit_val,
-           ROUND(nrm, 4) AS l2_norm
+    SELECT vec_id, dim,
+           CAST(FLOOR(x / nrm * 10000 + 0.5) AS BIGINT) AS unit_q,
+           CAST(FLOOR(nrm * 10000 + 0.5) AS BIGINT) AS l2_norm_q
     FROM ex
     """,
 )
 def llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization to unit vectors (the pre-ANN step that turns cosine
     into a plain dot product, halving the per-pair arithmetic in every
-    downstream similarity join). Output exploded to long form
-    (vec_id, dim, unit_val, l2_norm) — the driver comparator cannot hash
-    raw numeric-array cells (same reshaping as `llm_centroids`). Per-row
-    array math plus posexplode, no shuffle."""
+    downstream similarity join). Output exploded to long form — the driver
+    comparator cannot hash raw numeric-array cells (same reshaping as
+    `llm_centroids`). Values are emitted as FLOOR(x*1e4 + 0.5) scaled
+    BIGINTs, not ROUND(x, 4) doubles: ROUND's half-tie behavior is
+    dialect-specific (Spark HALF_UP on decimal repr, DuckDB on the binary
+    value — see functions/exact.py), which hash-mismatched for three rounds;
+    the floor form is the identical IEEE-754 expression in both engines
+    (the same recipe that made `llm_embed_quantize` green in r4).
+    Per-row array math plus posexplode, no shuffle."""
     e = load_table(spark, sf_dir, "embeddings")
     sq_sum = F.aggregate(
         F.transform("embedding", lambda y: y.cast("double") * y.cast("double")),
@@ -1362,14 +1368,17 @@ def llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     norm = F.sqrt(sq_sum)
-    unit = F.transform(
-        "embedding", lambda x: F.round(x.cast("double") / norm, 4)
+    unit_q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / norm * 10000 + 0.5).cast(
+            "bigint"
+        ),
     )
     return e.select(
         "vec_id",
-        F.round(norm, 4).alias("l2_norm"),
-        F.posexplode(unit).alias("dim", "unit_val"),
-    ).select("vec_id", "dim", "unit_val", "l2_norm")
+        F.floor(norm * 10000 + 0.5).cast("bigint").alias("l2_norm_q"),
+        F.posexplode(unit_q).alias("dim", "unit_q"),
+    ).select("vec_id", "dim", "unit_q", "l2_norm_q")
 
 
 @query(

@@ -46,29 +46,35 @@ def test_schema_and_explain(eng):
     assert audit.pushed_filters, "explain() should surface pushed filters"
 
 
-def test_no_oracle_key_emits_array_or_map(spark, sf_dir):
-    """Driver-comparator contract: SQL-oracle keys must emit flat scalar
-    columns only. The driver canonicalizes results via a pandas sort, and
-    pandas cannot factorize numpy-array cells — r2's agg_approx_percentile
-    and r3's llm_embed_norm/llm_embed_quantize both crashed the driver this
-    way (`TypeError: unhashable type: 'numpy.ndarray'`). Explode arrays to
-    long rows (llm_centroids pattern) or array_join to a string
-    (agg_collect pattern) instead. Rows-only keys (no oracle) are exempt:
-    the driver never canonicalizes them."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+def test_no_key_emits_driver_unhashable_types(spark, sf_dir):
+    """Driver-comparator contract (§7.3): EVERY registered key must emit
+    flat scalar columns only. The driver canonicalizes ALL results — SQL
+    oracle AND rows-only — via a pandas sort, and pandas cannot factorize
+    array/map/struct/bytes cells: r2's agg_approx_percentile and r3's
+    llm_embed_norm/llm_embed_quantize crashed on numpy arrays, and r4's
+    fn_map (rows-only, MapType+arrays) and fn_base64 (BinaryType) crashed
+    on exactly the two exemptions the earlier guard carved out. No
+    exemptions: explode arrays to long rows (llm_centroids pattern),
+    array_join to a string (agg_collect pattern), hex-encode binary,
+    project maps to scalar lookups (fn_map pattern)."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
 
-    from luxor_db_spark.registry import ORACLES, load_all_queries
+    from luxor_db_spark.registry import load_all_queries
 
     queries = load_all_queries()
     offenders = []
-    for key in sorted(ORACLES):
+    for key in sorted(queries):
         df = queries[key](spark, sf_dir)  # lazy: schema only, no execution
+        if df is None or getattr(df, "isStreaming", False):
+            continue
         for f in df.schema.fields:
-            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            if isinstance(
+                f.dataType, (ArrayType, BinaryType, MapType, StructType)
+            ):
                 offenders.append(f"{key}.{f.name}: {f.dataType.simpleString()}")
     assert not offenders, (
-        "SQL-oracle keys returning driver-unhashable column types "
-        f"(explode to long form or array_join them): {offenders}"
+        "Registered keys returning driver-unhashable column types "
+        f"(explode/array_join/hex/scalar-project them): {offenders}"
     )
 
 
@@ -130,3 +136,38 @@ def test_driver_window_prioritizes_oldest_unchecked_keys():
     # Green keys still rotate to the back, staleness-first.
     checked = [k for k in ordered if k in DRIVER_CHECKED]
     assert ordered[: len(fresh)] == fresh and ordered[len(fresh):] == checked
+
+
+def test_driver_window_policy_matches_observed_rounds():
+    """Post-round audit (round-3/4 VERDICT ask): the keys the driver
+    ACTUALLY checked in the latest CORRECTNESS_r{N}.json must be a subset
+    of the window we predicted for that round (ledger as of rounds < N,
+    first WINDOW_SIZE of the coverage order). A violation means the
+    driver's window policy changed — the rotation in queries() is then
+    mis-targeted and needs re-derivation."""
+    import json
+    import re
+    from pathlib import Path
+
+    from luxor_db_spark.driver_coverage import expected_window_for_round
+    from luxor_db_spark.registry import load_all_queries
+
+    root = Path(__file__).resolve().parent.parent
+    files = sorted(root.glob("CORRECTNESS_r*.json"))
+    # Only rounds whose registry matches the current one are auditable;
+    # r4 (registry frozen since) is the earliest such round.
+    auditable = [
+        (int(re.search(r"r(\d+)", p.name).group(1)), p) for p in files
+    ]
+    auditable = [(n, p) for n, p in auditable if n >= 4]
+    if not auditable:
+        pytest.skip("no auditable CORRECTNESS round on disk")
+    keys = list(load_all_queries())
+    for rnd, path in auditable:
+        actual = set(json.loads(path.read_text()))
+        predicted = set(expected_window_for_round(keys, rnd))
+        stray = actual - predicted
+        assert not stray, (
+            f"round {rnd}: driver checked keys outside the predicted "
+            f"window (policy drift?): {sorted(stray)}"
+        )
