@@ -648,7 +648,7 @@ def fn_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH k AS (
       SELECT o_orderkey,
-             (o_orderkey * 2654435761) % 4294967296 AS ip
+             ((o_orderkey % 2147483648) * 2654435761) % 4294967296 AS ip
       FROM orders
     )
     SELECT o_orderkey,
@@ -676,10 +676,16 @@ def fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order key mod 2³²) so both engines derive identical inputs.
 
     Pure 64-bit integer shift/mask arithmetic — bit-identical everywhere,
-    fully inside whole-stage codegen.
+    fully inside whole-stage codegen. The key is reduced mod 2³¹ BEFORE
+    the multiply: (2³¹−1)·2654435761 ≈ 5.7e18 stays inside BIGINT, so the
+    synthesis is overflow-free at any scale factor (an unreduced key
+    overflows past o_orderkey ≈ 3.5e9, where Spark's non-ANSI mode wraps
+    silently while DuckDB raises — divergent engines).
     """
     o = load_table(spark, sf_dir, "orders")
-    ip = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    ip = ((F.col("o_orderkey") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
+        4294967296
+    )
     o1 = F.shiftright(ip, 24)
     o2 = F.shiftright(ip, 16).bitwiseAND(F.lit(255))
     o3 = F.shiftright(ip, 8).bitwiseAND(F.lit(255))
@@ -812,7 +818,8 @@ def _luhn_terms_duck() -> str:
     oracle=f"""
     WITH p AS (
       SELECT o_orderkey,
-             lpad(CAST((o_orderkey * 2654435761) % 10000000000000000
+             lpad(CAST(((o_orderkey % 2147483648) * 2654435761)
+                       % 10000000000000000
                        AS VARCHAR), 16, '0') AS pan
       FROM orders
     )
@@ -831,13 +838,17 @@ def fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The mod-10 double-every-second-digit sum unrolls to 16 fixed digit
     expressions — pure integer arithmetic in whole-stage codegen,
-    bit-identical in both engines.
+    bit-identical in both engines. The key is reduced mod 2³¹ before the
+    multiply so the product never exceeds BIGINT (see fn_ip) — without it
+    the synthesis diverges past o_orderkey ≈ 3.5e9 (Spark wraps, DuckDB
+    raises).
     """
     o = load_table(spark, sf_dir, "orders")
     pan = F.lpad(
-        ((F.col("o_orderkey") * 2654435761) % 10000000000000000).cast(
-            "string"
-        ),
+        (
+            ((F.col("o_orderkey") % 2147483648) * 2654435761)
+            % 10000000000000000
+        ).cast("string"),
         16,
         "0",
     )

@@ -145,7 +145,9 @@ _DF_CAP = 100
     WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5
     """,
 )
-def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_dedup_near(
+    spark: SparkSession, sf_dir: str, *, skew_safe: bool = False
+) -> DataFrame:
     """Near-dup pairs: exact Jaccard ≥ 0.5 over distinct 3-word shingles.
 
     Inverted-index self-join: only docs sharing a shingle become candidate
@@ -153,13 +155,25 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shingles with document frequency > _DF_CAP are dropped before the join
     (stop-shingles), bounding the k² posting blowup.
 
-    The df computation is a COUNT window over ``partitionBy(s)`` — the
-    exact partitioning the self-join needs — so the cap filter rides the
-    join's own Exchange instead of adding a separate aggregate pass + anti
-    join (which re-derived the shingle explode per branch; the window form
-    measured 3.2× faster at sf0.1: one scan+explode, one Exchange(s),
-    reused by both join sides). This is the oracle-checkable core;
-    `llm_dedup_minhash` is the sub-quadratic scale path.
+    Two equivalent df-cap forms (identical output, asserted in tests):
+
+    - default (``skew_safe=False``): df as a COUNT window over
+      ``partitionBy(s)`` — the exact partitioning the self-join needs, so
+      the cap filter rides the join's own Exchange (one scan+explode, one
+      Exchange(s), reused by both join sides; measured 3.2× faster at
+      sf0.1). CAVEAT: the window buffers each shingle's FULL posting list
+      in one partition before the cap filter runs, so a Zipf-hot
+      stop-shingle (df ≫ cap) concentrates its postings in a single task
+      — the exact skew the cap exists to bound.
+    - ``skew_safe=True`` (the 100 TB path): hot shingles are found with a
+      map-side-combinable groupBy count (the shuffle carries partial
+      (s, count) pairs — bounded per shingle by #map-partitions, immune
+      to posting-list skew) and dropped via a broadcast anti-join BEFORE
+      any shuffle of the postings. Costs one extra scan+explode; at Zipf
+      scale that is the cheap side of the trade.
+
+    This is the oracle-checkable core; `llm_dedup_minhash` is the
+    sub-quadratic scale path.
     """
     d = load_table(spark, sf_dir, "documents").withColumn(
         "tokens", F.expr(_TOKENS)
@@ -167,12 +181,21 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_all = d.select(
         "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES))).alias("s")
     )
-    wdf = Window.partitionBy("s")
-    sh = (
-        sh_all.withColumn("df", F.count(F.lit(1)).over(wdf))
-        .filter(F.col("df") <= _DF_CAP)
-        .drop("df")
-    )
+    if skew_safe:
+        hot = (
+            sh_all.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > _DF_CAP)
+            .select("s")
+        )
+        sh = sh_all.join(broadcast(hot), "s", "left_anti")
+    else:
+        wdf = Window.partitionBy("s")
+        sh = (
+            sh_all.withColumn("df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("df") <= _DF_CAP)
+            .drop("df")
+        )
     # Aggregated from the shuffled table (NOT size(shingles) map-side):
     # the Exchange is computed once and read by every branch via
     # ReuseExchange, whereas a map-side size would re-run the shingle

@@ -537,6 +537,16 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the global prefix sum for any split of a strict total order
     (o_custkey is unique at entity grain, so ties cannot straddle a
     boundary ambiguously).
+
+    The partitioned frame is pinned with ``localCheckpoint`` because
+    ``pid`` (spark_partition_id after a SAMPLED range repartition) feeds
+    three branches (loc, off, tot): correctness needs all three to see
+    identical bounds, which otherwise holds only while Catalyst's
+    ReuseExchange dedups the sampling Exchange. If reuse ever failed
+    (exchange-reuse disabled, AQE divergence, a branch edit), each branch
+    would re-sample bounds independently and pids would silently disagree
+    across branches. The checkpoint makes bound-agreement structural, not
+    optimizer-dependent (same pattern as graph.py's iteration pinning).
     """
     o = load_table(spark, sf_dir, "orders")
     r = o.groupBy("o_custkey").agg(
@@ -548,6 +558,7 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = r.repartitionByRange(
         npart, F.col("rev").desc(), F.col("o_custkey")
     ).withColumn("pid", F.spark_partition_id())
+    part = part.localCheckpoint(eager=True)
 
     # Local prefix sums: one window task per range partition, in parallel.
     wloc = Window.partitionBy("pid").orderBy(

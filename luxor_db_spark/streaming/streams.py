@@ -443,17 +443,22 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-window top-k: the 3 largest values per (1-hour
     window, event type). Rank windows aren't supported in streaming, so
-    the top-k state is carried INSIDE the windowed aggregation as a
-    bounded sorted array (collect → sort desc → slice 3 — O(k) state per
-    window after compaction), drained in complete mode, and exploded to
-    (window, type, rank, value) rows batch-side.
+    the query aggregates collect_list per (window, type), then sorts and
+    slices to 3 at drain time, exploded to (window, type, rank, value)
+    rows batch-side.
 
     Oracle-deterministic because ranks beyond tie boundaries emit
     identical VALUES regardless of which tied row wins a slot.
 
-    Scale shape: per-window state is the top-k array, not the window's
-    rows; the stream shuffles once on the (window, type) group key —
-    the same cost as any windowed aggregate plus O(k) memory.
+    Scale shape — state caveat: slice/sort_array apply to the aggregate's
+    OUTPUT, so the streaming state store holds the FULL per-(window, type)
+    value list, i.e. O(rows-per-window) state, not O(k). That is
+    acceptable here because windows are time-bounded (1 h) and the grain
+    is (window, type), but for unbounded-cardinality windows the real
+    bounded-state path is a custom incremental top-k via
+    applyInPandasWithState (compact the buffer to k on every batch) —
+    Spark's built-in streaming aggregates cannot compact mid-aggregation.
+    The stream still shuffles once on the (window, type) group key.
     """
     ev = stream_events(spark, sf_dir)
     agg = ev.groupBy(

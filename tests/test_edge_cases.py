@@ -255,3 +255,22 @@ def test_countmin_never_undercounts(spark, sf_dir):
     assert rows, "probe set empty"
     for r in rows:
         assert r.overcount >= 0, f"CMS undercounted user {r.user_id}"
+
+
+def test_dedup_near_skew_safe_form_matches_window_form(spark, sf_dir):
+    """llm_dedup_near has two df-cap forms: the default COUNT-window (rides
+    the self-join's Exchange; fast at bench scale but buffers each
+    shingle's full posting list in one partition) and the skew_safe
+    broadcast anti-join (map-side-combinable hot-set count, postings of
+    hot shingles dropped before any shuffle — the 100 TB path). They must
+    produce identical pairs."""
+    from luxor_db_spark.operators.llm import llm_dedup_near
+
+    def canon(df):
+        return sorted(
+            (r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in df.collect()
+        )
+
+    fast = canon(llm_dedup_near(spark, sf_dir))
+    safe = canon(llm_dedup_near(spark, sf_dir, skew_safe=True))
+    assert fast == safe and len(fast) > 0
