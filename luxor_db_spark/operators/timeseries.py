@@ -24,6 +24,12 @@ from pyspark.sql.window import Window
 
 from luxor_db_spark.catalog import load_table
 from luxor_db_spark.functions.exact import DEC
+from luxor_db_spark.operators.bucketed import (
+    BKT,
+    HALO,
+    bucket_offsets,
+    with_trailing_halo,
+)
 from luxor_db_spark.registry import query
 
 
@@ -682,40 +688,55 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the per-type sufficient stats (n, s1) map-side-combine to
     one row per type and broadcast back onto the scan (same
-    sketch-then-broadcast shape as ts_anomaly); the running sum partitions
-    by event_type — one shuffle of the events projection, no self-join.
+    sketch-then-broadcast shape as ts_anomaly). The running sum is a
+    TWO-LEVEL PREFIX SUM over (event_type, day-bucket): local per-bucket
+    cumsum at |types|x|days| parallelism plus a broadcast per-bucket
+    offset table (exact because every term is DECIMAL — the win_pareto
+    pattern, with buckets derived from data instead of sampling). The
+    argmax is a struct-min aggregate (map-side combinable), not a second
+    event-grain window.
     """
     ev = load_table(spark, sf_dir, "events")
     vdec = F.col("value").cast(DEC)
     stats = ev.groupBy("event_type").agg(
         F.count("value").alias("n"), F.sum(vdec).alias("s1")
     )
-    j = ev.join(F.broadcast(stats), "event_type")
-    wrun = (
-        Window.partitionBy("event_type")
+    j = ev.join(F.broadcast(stats), "event_type").withColumn(
+        BKT, F.date_trunc("day", F.col("ts"))
+    )
+    dev = vdec * F.col("n") - F.col("s1")
+    wloc = (
+        Window.partitionBy("event_type", BKT)
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = j.select(
+    loc = j.select(
         "event_type",
+        BKT,
         "ts",
         "event_id",
         "n",
-        F.sum(vdec * F.col("n") - F.col("s1")).over(wrun).alias("cusum_n"),
+        F.sum(dev).over(wloc).alias("_lrun"),
     )
-    wrk = Window.partitionBy("event_type").orderBy(
-        F.abs(F.col("cusum_n").cast("double")).desc(), "ts", "event_id"
+    off = bucket_offsets(j, ["event_type"], BKT, dev)
+    c = loc.join(F.broadcast(off), ["event_type", BKT]).withColumn(
+        "cusum_n", F.col("_lrun") + F.coalesce(F.col("_off"), F.lit(0))
     )
-    return (
-        c.withColumn("rk", F.row_number().over(wrk))
-        .filter(F.col("rk") == 1)
-        .select(
-            "event_type",
-            F.col("ts").alias("change_ts"),
-            F.round(
-                F.abs(F.col("cusum_n").cast("double")) / F.col("n"), 4
-            ).alias("max_cusum"),
-        )
+    # Deterministic argmax by (|cusum| DESC, ts, event_id): min of a
+    # (-|cusum|, ts, event_id) struct — lexicographic, map-combinable.
+    pick = c.groupBy("event_type", "n").agg(
+        F.min(
+            F.struct(
+                (-F.abs(F.col("cusum_n").cast("double"))).alias("negabs"),
+                F.col("ts").alias("ts"),
+                F.col("event_id").alias("event_id"),
+            )
+        ).alias("m")
+    )
+    return pick.select(
+        "event_type",
+        F.col("m.ts").alias("change_ts"),
+        F.round(-F.col("m.negabs") / F.col("n"), 4).alias("max_cusum"),
     )
 
 
@@ -740,13 +761,22 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     elements) so this stays O(1) memory per row; both engines see the same
     doubles, and ROUND(·,4) guards the one even-count midpoint addition.
 
-    Scale shape: one window sort per event_type — identical cost to any
-    trailing-frame aggregate; nothing beyond the 7-element arrays is ever
-    buffered.
+    Scale shape: bucket-with-halo (operators/bucketed.py) — the window
+    partitions by (event_type, day-bucket) with the 6 globally-preceding
+    rows replicated into each bucket, so parallelism is |types|×|days|,
+    not |types|; results are identical to the global per-type frame (the
+    oracle is unchanged, and halo rows are dropped from the output).
     """
     ev = load_table(spark, sf_dir, "events")
+    aug = with_trailing_halo(
+        ev.select("event_type", "ts", "event_id", "value"),
+        ["event_type"],
+        ["ts", "event_id"],
+        F.date_trunc("day", F.col("ts")),
+        6,
+    )
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy("event_type", BKT)
         .orderBy("ts", "event_id")
         .rowsBetween(-6, 0)
     )
@@ -755,11 +785,16 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
     mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
     med = F.when(n % 2 == 1, mid_hi).otherwise((mid_lo + mid_hi) / 2.0)
-    return ev.select(
-        "event_type",
-        "ts",
-        "event_id",
-        F.round(med, 4).alias("med7"),
+    return (
+        aug.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(med, 4).alias("med7"),
+            HALO,
+        )
+        .filter(~F.col(HALO))
+        .drop(HALO)
     )
 
 
@@ -855,24 +890,35 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     residue the subtraction form can produce in double space, identically
     on both sides.
 
-    Scale shape: one (event_type) window sort; all three statistics share
-    the same frame — a single window pass, constant state per row.
+    Scale shape: bucket-with-halo (operators/bucketed.py) — the window
+    partitions by (event_type, day-bucket) with the 19 globally-preceding
+    rows replicated per bucket; all three statistics share one frame and
+    one window pass at |types|×|days| parallelism. Identical output to the
+    global per-type frame (oracle unchanged; halo rows dropped).
     """
     ev = load_table(spark, sf_dir, "events")
+    aug = with_trailing_halo(
+        ev.select("event_type", "ts", "event_id", "value"),
+        ["event_type"],
+        ["ts", "event_id"],
+        F.date_trunc("day", F.col("ts")),
+        19,
+    )
     f = (
-        Window.partitionBy("event_type")
+        Window.partitionBy("event_type", BKT)
         .orderBy("ts", "event_id")
         .rowsBetween(-19, 0)
     )
     vdec = F.col("value").cast(DEC)
-    w = ev.select(
+    w = aug.select(
         "event_type",
         "ts",
         "event_id",
+        HALO,
         F.count(F.lit(1)).over(f).alias("n"),
         F.sum(vdec).over(f).alias("s1"),
         F.sum(vdec * vdec).over(f).alias("s2"),
-    )
+    ).filter(~F.col(HALO))
     s1d, s2d, n = (
         F.col("s1").cast("double"),
         F.col("s2").cast("double"),

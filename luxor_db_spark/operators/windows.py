@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from luxor_db_spark.catalog import load_table
+from luxor_db_spark.operators.bucketed import BKT
 from luxor_db_spark.registry import query
 
 
@@ -663,9 +664,16 @@ def win_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     as overlapping in both engines — the inclusive-bounds convention,
     applied identically.
 
-    Scale shape: 2 rows per event through ONE (event_type) window sort,
-    then a map-combinable max — no interval self-join, no quadratic
-    corner, any series skew costs sort time only.
+    Scale shape: 2 rows per event through ONE window sort — but keyed on
+    (event_type, day-bucket), not event_type alone, so parallelism is
+    |types|x|days| (the round-4 5-partition cap is gone). The global
+    running sum decomposes exactly: max over buckets of (bucket offset +
+    local running max), where the offsets are exclusive prefix sums of
+    per-bucket deltas over a tiny broadcast ledger (integer arithmetic —
+    the two-level prefix-sum pattern of win_pareto/ts_cusum). Same-t ties
+    always share a bucket (the bucket is a truncation of t), so the
+    +1-before-−1 tie order is preserved. No interval self-join, no
+    quadratic corner.
     """
     ev = load_table(spark, sf_dir, "events")
     starts = ev.select(
@@ -676,16 +684,42 @@ def win_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
         F.lit(-1).alias("delta"),
     )
-    w = (
-        Window.partitionBy("event_type")
+    bounds = starts.unionAll(ends).withColumn(
+        BKT, F.date_trunc("day", F.col("t"))
+    )
+    wloc = (
+        Window.partitionBy("event_type", BKT)
         .orderBy(F.col("t"), F.col("delta").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = starts.unionAll(ends).select(
-        "event_type", F.sum("delta").over(w).alias("concurrent")
+    per_bucket = (
+        bounds.select(
+            "event_type",
+            BKT,
+            "delta",
+            F.sum("delta").over(wloc).alias("_lrun"),
+        )
+        .groupBy("event_type", BKT)
+        .agg(
+            F.max("_lrun").alias("_mloc"),
+            F.sum("delta").alias("_bsum"),
+        )
     )
-    return run.groupBy("event_type").agg(
-        F.max("concurrent").cast("bigint").alias("max_concurrent")
+    woff = (
+        Window.partitionBy("event_type")
+        .orderBy(BKT)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per_bucket.withColumn(
+            "_off", F.coalesce(F.sum("_bsum").over(woff), F.lit(0))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max(F.col("_off") + F.col("_mloc"))
+            .cast("bigint")
+            .alias("max_concurrent")
+        )
     )
 
 

@@ -274,3 +274,41 @@ def test_dedup_near_skew_safe_form_matches_window_form(spark, sf_dir):
     fast = canon(llm_dedup_near(spark, sf_dir))
     safe = canon(llm_dedup_near(spark, sf_dir, skew_safe=True))
     assert fast == safe and len(fast) > 0
+
+
+def test_trailing_halo_exact_across_short_buckets(spark):
+    """with_trailing_halo must reproduce the global trailing frame even
+    when intervening buckets hold fewer than k rows — the halo then spans
+    MULTIPLE buckets back (the ledger-based shipping, not just
+    last-k-of-previous-bucket). Synthetic series: buckets of sizes
+    1,1,1,8,2 with k=4, compared against the single-partition global
+    window."""
+    from luxor_db_spark.operators.bucketed import BKT, HALO, with_trailing_halo
+
+    rows = []
+    sizes = [1, 1, 1, 8, 2]
+    i = 0
+    for b, sz in enumerate(sizes):
+        for _ in range(sz):
+            rows.append(("a", b, i, float(i)))
+            i += 1
+    df = spark.createDataFrame(rows, "grp string, bkt int, seq long, v double")
+
+    k = 4
+    glob = Window.partitionBy("grp").orderBy("seq").rowsBetween(-k, 0)
+    want = {
+        (r.seq, round(r.s, 6))
+        for r in df.select("seq", F.sum("v").over(glob).alias("s")).collect()
+    }
+
+    aug = with_trailing_halo(df, ["grp"], ["seq"], F.col("bkt"), k)
+    wb = Window.partitionBy("grp", BKT).orderBy("seq").rowsBetween(-k, 0)
+    got = {
+        (r.seq, round(r.s, 6))
+        for r in aug.select(
+            "seq", HALO, F.sum("v").over(wb).alias("s")
+        )
+        .filter(~F.col(HALO))
+        .collect()
+    }
+    assert got == want
