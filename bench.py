@@ -67,6 +67,11 @@ HEADLINE = [
     "graph_pagerank",
     "agg_gini",
     "win_moving_median",
+    # round 5 additions: the rest of the de-weakened event-grain window
+    # family (bucket-with-halo / two-level prefix-sum rewrites)
+    "win_bollinger",
+    "ts_cusum_changepoint",
+    "win_max_concurrent",
 ]
 
 

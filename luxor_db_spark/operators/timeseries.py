@@ -544,15 +544,19 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     (o_custkey is unique at entity grain, so ties cannot straddle a
     boundary ambiguously).
 
-    The partitioned frame is pinned with ``localCheckpoint`` because
-    ``pid`` (spark_partition_id after a SAMPLED range repartition) feeds
-    three branches (loc, off, tot): correctness needs all three to see
-    identical bounds, which otherwise holds only while Catalyst's
-    ReuseExchange dedups the sampling Exchange. If reuse ever failed
-    (exchange-reuse disabled, AQE divergence, a branch edit), each branch
-    would re-sample bounds independently and pids would silently disagree
-    across branches. The checkpoint makes bound-agreement structural, not
-    optimizer-dependent (same pattern as graph.py's iteration pinning).
+    The partitioned frame is pinned with ``persist()`` because ``pid``
+    (spark_partition_id after a SAMPLED range repartition) feeds three
+    branches (loc, off, tot): correctness needs all three to see identical
+    bounds, which otherwise holds only while Catalyst's ReuseExchange
+    dedups the sampling Exchange. If reuse ever failed (exchange-reuse
+    disabled, AQE divergence, a branch edit), each branch would re-sample
+    bounds independently and pids would silently disagree across branches.
+    The cache collapses all branches onto one InMemoryRelation — the range
+    Exchange exists exactly once, so bound agreement is structural, not
+    optimizer-dependent; even an evicted-partition recompute re-reads the
+    SAME shuffle output (bounds are fixed when the exchange's map stage
+    runs). Unlike localCheckpoint, persist stays lazy and keeps the
+    lineage plan-visible (the range-partitioning plan test still sees it).
     """
     o = load_table(spark, sf_dir, "orders")
     r = o.groupBy("o_custkey").agg(
@@ -564,7 +568,7 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = r.repartitionByRange(
         npart, F.col("rev").desc(), F.col("o_custkey")
     ).withColumn("pid", F.spark_partition_id())
-    part = part.localCheckpoint(eager=True)
+    part = part.persist()
 
     # Local prefix sums: one window task per range partition, in parallel.
     wloc = Window.partitionBy("pid").orderBy(

@@ -48,6 +48,25 @@ def configure(spark: SparkSession) -> SparkSession:
             # Some confs may be fixed by the hosting driver; never fail a
             # query over a tuning knob.
             pass
+    # Local-mode shuffle sizing: a vanilla session keeps Spark's default of
+    # 200 shuffle partitions. Batch plans coalesce via AQE, but STREAMING
+    # stateful operators cannot (AQE is disabled for them), so every
+    # micro-batch schedules 200 state-store tasks — pure overhead on a
+    # local fixture (stream_stream_join: 24 s → ~6 s at sf0.01). Right-size
+    # to the local core count, but ONLY when (a) running local and (b) the
+    # conf is still at its untouched default — a deliberate setting, or any
+    # cluster deployment, is never overridden.
+    try:
+        if (
+            spark.sparkContext.master.startswith("local")
+            and spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        ):
+            cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(
+                spark.sparkContext.defaultParallelism
+            )
+            spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    except Exception:
+        pass
     return spark
 
 

@@ -28,3 +28,31 @@ def test_rows_only_keys_run(spark, sf_dir):
         n = df.count()
         assert n >= 0, key
         assert df.columns, key
+
+
+@pytest.mark.parametrize("key", ["llm_embed_norm", "llm_embed_quantize"])
+def test_embed_keys_parity_at_sf01(key, spark):
+    """Rounding/frame bugs can be invisible at sf0.001 (SURVEY §4c.10):
+    llm_embed_norm hash-mismatched for three driver rounds on rounding
+    ties the small fixture never hit. Pin both embed keys at sf0.1
+    regardless of the suite's default scale factor."""
+    import os
+
+    import duckdb
+
+    from luxor_db_spark.catalog import table_path
+    from luxor_db_spark.registry import QUERIES
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.1 fixtures not present")
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{table_path(sf01, 'embeddings')}')"
+    )
+    try:
+        assert_parity(QUERIES[key](spark, sf01), con, ORACLES[key], key=key)
+    finally:
+        con.close()
