@@ -46,3 +46,23 @@ def dsum_sql(expr: str) -> str:
 def davg_sql(expr: str) -> str:
     """Oracle-side twin of :func:`davg`."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({expr})"
+
+
+def q4(c: Column) -> Column:
+    """Tie-free 4-decimal report of a RATIONAL-valued double.
+
+    ``ROUND(x, 4)`` diverges between engines whenever x's decimal repr
+    sits on a rounding tie — and ratios of counts or 2-decimal money
+    (n/total, Δv/v, Σrank·x/(n·Σx)) land on ties routinely because their
+    denominators divide powers of 10 (llm_embed_norm hash-mismatched
+    three driver rounds this way). ``FLOOR(x·10⁴ + 0.5)/10⁴`` is the
+    identical IEEE-754 expression in both engines: same double in, same
+    double out, no dialect-specific half-tie rule. Use for every
+    hash-compared per-row ratio; plain ROUND stays fine for
+    irrational-valued statistics (stddev/corr/log/sqrt outputs)."""
+    return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+
+def q4_sql(expr: str) -> str:
+    """Oracle-side twin of :func:`q4` (valid Spark SQL and DuckDB SQL)."""
+    return f"FLOOR(({expr}) * 10000 + 0.5) / 10000"

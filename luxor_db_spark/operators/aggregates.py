@@ -18,7 +18,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from luxor_db_spark.catalog import load_table, register_views
-from luxor_db_spark.functions.exact import DEC, davg, davg_sql, dsum, dsum_sql
+from luxor_db_spark.functions.exact import (
+    DEC,
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    q4,
+)
 from luxor_db_spark.registry import query
 
 _DISC = "l_extendedprice * (1 - l_discount)"
@@ -676,9 +683,10 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT nation,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND((2.0 * CAST(SUM(i * x) AS DOUBLE)
-                  - (COUNT(*) + 1) * CAST(SUM(x) AS DOUBLE))
-                 / (COUNT(*) * CAST(SUM(x) AS DOUBLE)), 4) AS gini
+           FLOOR(((2.0 * CAST(SUM(i * x) AS DOUBLE)
+                   - (COUNT(*) + 1) * CAST(SUM(x) AS DOUBLE))
+                  / (COUNT(*) * CAST(SUM(x) AS DOUBLE))) * 10000 + 0.5)
+             / 10000 AS gini
     FROM rk GROUP BY nation
     """,
 )
@@ -716,7 +724,7 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx = F.sum("x").cast("double")
     return rk.groupBy("nation").agg(
         n.cast("bigint").alias("n_customers"),
-        F.round((2.0 * six - (n + 1) * sx) / (n * sx), 4).alias("gini"),
+        q4((2.0 * six - (n + 1) * sx) / (n * sx)).alias("gini"),
     )
 
 

@@ -27,6 +27,7 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from luxor_db_spark.catalog import load_table
+from luxor_db_spark.functions.exact import q4
 from luxor_db_spark.registry import query
 
 # --- shared expression builders -------------------------------------------
@@ -2146,7 +2147,8 @@ def llm_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
               JOIN c1 ON bg.w1 = c1.w1
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+           FLOOR((CAST(SUM(lp) AS DOUBLE) / COUNT(*)) * 10000 + 0.5)
+             / 10000 AS avg_logprob
     FROM scored GROUP BY doc_id
     """,
 )
@@ -2198,7 +2200,7 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 4).alias(
+        q4(F.sum("lp").cast("double") / F.count(F.lit(1))).alias(
             "avg_logprob"
         ),
     )
@@ -2288,11 +2290,13 @@ def llm_dedup_semantic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     z AS (SELECT SUM(pa) AS zsum, CAST(SUM(n) AS BIGINT) AS total FROM t)
     SELECT t.lang, CAST(t.n AS BIGINT) AS n_docs,
-           ROUND(CAST(t.n AS DOUBLE) / z.total, 4) AS p_raw,
-           ROUND(CAST(t.pa AS DOUBLE) / CAST(z.zsum AS DOUBLE), 4)
-             AS p_temp,
-           ROUND((CAST(t.pa AS DOUBLE) / CAST(z.zsum AS DOUBLE))
-                 / (CAST(t.n AS DOUBLE) / z.total), 4) AS upsample_factor
+           FLOOR((CAST(t.n AS DOUBLE) / z.total) * 10000 + 0.5) / 10000
+             AS p_raw,
+           FLOOR((CAST(t.pa AS DOUBLE) / CAST(z.zsum AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS p_temp,
+           FLOOR(((CAST(t.pa AS DOUBLE) / CAST(z.zsum AS DOUBLE))
+                  / (CAST(t.n AS DOUBLE) / z.total)) * 10000 + 0.5) / 10000
+             AS upsample_factor
     FROM t, z
     """,
 )
@@ -2327,9 +2331,9 @@ def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.crossJoin(F.broadcast(z)).select(
         "lang",
         F.col("n").cast("bigint").alias("n_docs"),
-        F.round(p_raw, 4).alias("p_raw"),
-        F.round(p_temp, 4).alias("p_temp"),
-        F.round(p_temp / p_raw, 4).alias("upsample_factor"),
+        q4(p_raw).alias("p_raw"),
+        q4(p_temp).alias("p_temp"),
+        q4(p_temp / p_raw).alias("upsample_factor"),
     )
 
 
@@ -2632,8 +2636,10 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c GROUP BY doc_id
     )
     SELECT doc_id, n_bigrams,
-           ROUND(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 4) AS top_ratio,
-           ROUND(CAST(dup_bigram_n AS DOUBLE) / n_bigrams, 4) AS dup_ratio,
+           FLOOR((CAST(top_bigram_n AS DOUBLE) / n_bigrams) * 10000 + 0.5)
+             / 10000 AS top_ratio,
+           FLOOR((CAST(dup_bigram_n AS DOUBLE) / n_bigrams) * 10000 + 0.5)
+             / 10000 AS dup_ratio,
            (CAST(top_bigram_n AS DOUBLE) / n_bigrams <= 0.08
             AND CAST(dup_bigram_n AS DOUBLE) / n_bigrams <= 0.6) AS keep
     FROM agg
@@ -2684,8 +2690,8 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "doc_id",
         "n_bigrams",
-        F.round(top_ratio, 4).alias("top_ratio"),
-        F.round(dup_ratio, 4).alias("dup_ratio"),
+        q4(top_ratio).alias("top_ratio"),
+        q4(dup_ratio).alias("dup_ratio"),
         ((top_ratio <= 0.08) & (dup_ratio <= 0.6)).alias("keep"),
     )
 
@@ -2705,8 +2711,10 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(nc.n AS BIGINT) AS n_candidates,
            CAST(nt.n AS BIGINT) AS n_truth,
            CAST(tp.n AS BIGINT) AS n_true_positive,
-           ROUND(CAST(tp.n AS DOUBLE) / nc.n, 4) AS precision,
-           ROUND(CAST(tp.n AS DOUBLE) / nt.n, 4) AS recall
+           FLOOR((CAST(tp.n AS DOUBLE) / nc.n) * 10000 + 0.5) / 10000
+             AS precision,
+           FLOOR((CAST(tp.n AS DOUBLE) / nt.n) * 10000 + 0.5) / 10000
+             AS recall
     FROM tp, nc, nt
     """,
 )
@@ -2742,11 +2750,11 @@ def llm_near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_cand").cast("bigint").alias("n_candidates"),
             F.col("n_truth").cast("bigint").alias("n_truth"),
             F.col("n_tp").cast("bigint").alias("n_true_positive"),
-            F.round(
-                F.col("n_tp").cast("double") / F.col("n_cand"), 4
+            q4(
+                F.col("n_tp").cast("double") / F.col("n_cand")
             ).alias("precision"),
-            F.round(
-                F.col("n_tp").cast("double") / F.col("n_truth"), 4
+            q4(
+                F.col("n_tp").cast("double") / F.col("n_truth")
             ).alias("recall"),
         )
     )

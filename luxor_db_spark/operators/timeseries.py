@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from luxor_db_spark.catalog import load_table
-from luxor_db_spark.functions.exact import DEC
+from luxor_db_spark.functions.exact import DEC, q4
 from luxor_db_spark.operators.bucketed import (
     BKT,
     HALO,
@@ -675,7 +675,8 @@ def ts_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
              n FROM c JOIN s USING (event_type)
     )
     SELECT event_type, ts AS change_ts,
-           ROUND(ABS(CAST(cusum_n AS DOUBLE)) / n, 4) AS max_cusum
+           FLOOR((ABS(CAST(cusum_n AS DOUBLE)) / n) * 10000 + 0.5) / 10000
+             AS max_cusum
     FROM r WHERE rk = 1
     """,
 )
@@ -740,7 +741,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pick.select(
         "event_type",
         F.col("m.ts").alias("change_ts"),
-        F.round(-F.col("m.negabs") / F.col("n"), 4).alias("max_cusum"),
+        q4(-F.col("m.negabs") / F.col("n")).alias("max_cusum"),
     )
 
 
@@ -816,8 +817,9 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h GROUP BY event_type
     )
     SELECT h.event_type, h.hr, CAST(h.n AS BIGINT) AS n_obs,
-           ROUND((CAST(h.s AS DOUBLE) / h.n)
-                 / (CAST(g.gs AS DOUBLE) / g.gn), 4) AS seasonal_idx
+           FLOOR(((CAST(h.s AS DOUBLE) / h.n)
+                  / (CAST(g.gs AS DOUBLE) / g.gn)) * 10000 + 0.5) / 10000
+             AS seasonal_idx
     FROM h JOIN g ON h.event_type = g.event_type
     """,
 )
@@ -849,10 +851,9 @@ def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hr",
         F.col("n").cast("bigint").alias("n_obs"),
-        F.round(
+        q4(
             (F.col("s").cast("double") / F.col("n"))
-            / (F.col("gs").cast("double") / F.col("gn")),
-            4,
+            / (F.col("gs").cast("double") / F.col("gn"))
         ).alias("seasonal_idx"),
     )
 
@@ -871,7 +872,7 @@ def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
     SELECT event_type, ts, event_id,
-           ROUND(CAST(s1 AS DOUBLE) / n, 4) AS ma20,
+           FLOOR((CAST(s1 AS DOUBLE) / n) * 10000 + 0.5) / 10000 AS ma20,
            ROUND(CAST(s1 AS DOUBLE) / n
                  + 2 * SQRT(GREATEST((CAST(s2 AS DOUBLE)
                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n,
@@ -934,7 +935,7 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "ts",
         "event_id",
-        F.round(ma, 4).alias("ma20"),
+        q4(ma).alias("ma20"),
         F.round(ma + 2 * sd, 4).alias("upper_band"),
         F.round(ma - 2 * sd, 4).alias("lower_band"),
     )
@@ -1199,7 +1200,7 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(h) AS burst_start, MAX(h) AS burst_end,
            CAST(COUNT(*) AS BIGINT) AS n_hours,
            CAST(SUM(n) AS BIGINT) AS n_events,
-           ROUND(MAX(rate_ratio), 4) AS peak_ratio
+           FLOOR(MAX(rate_ratio) * 10000 + 0.5) / 10000 AS peak_ratio
     FROM isl GROUP BY event_type, grp
     """,
 )
@@ -1247,7 +1248,7 @@ def ts_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("h").alias("burst_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_hours"),
         F.sum("n").cast("bigint").alias("n_events"),
-        F.round(F.max("rate_ratio"), 4).alias("peak_ratio"),
+        q4(F.max("rate_ratio")).alias("peak_ratio"),
     ).drop("grp")
 
 
@@ -1266,8 +1267,9 @@ def ts_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, d, CAST(v AS DOUBLE) AS v,
            CAST(v_prev AS DOUBLE) AS v_prev,
-           ROUND((CAST(v AS DOUBLE) - CAST(v_prev AS DOUBLE))
-                 / CAST(v_prev AS DOUBLE) * 100, 4) AS pct_wow
+           FLOOR(((CAST(v AS DOUBLE) - CAST(v_prev AS DOUBLE))
+                  / CAST(v_prev AS DOUBLE) * 100) * 10000 + 0.5) / 10000
+             AS pct_wow
     FROM wow WHERE v_prev IS NOT NULL
     """,
 )
@@ -1299,7 +1301,7 @@ def ts_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         vd.alias("v"),
         pd_.alias("v_prev"),
-        F.round((vd - pd_) / pd_ * 100, 4).alias("pct_wow"),
+        q4((vd - pd_) / pd_ * 100).alias("pct_wow"),
     )
 
 
@@ -1439,7 +1441,8 @@ def ts_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY e.event_type, m.med
     )
     SELECT e.event_id, e.event_type, e.value,
-           ROUND((e.value - m.med) / (1.4826 * m.mad), 4) AS robust_z
+           FLOOR(((e.value - m.med) / (1.4826 * m.mad)) * 10000 + 0.5)
+             / 10000 AS robust_z
     FROM events e JOIN mad m ON e.event_type = m.event_type
     WHERE ABS(e.value - m.med) > 3 * 1.4826 * m.mad
     """,
@@ -1479,7 +1482,7 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "value",
-        F.round(
-            (F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 4
+        q4(
+            (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
         ).alias("robust_z"),
     )

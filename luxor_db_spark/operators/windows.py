@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from luxor_db_spark.catalog import load_table
+from luxor_db_spark.functions.exact import q4
 from luxor_db_spark.operators.bucketed import BKT
 from luxor_db_spark.registry import query
 
@@ -733,11 +734,12 @@ def win_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT grp, o_orderkey,
            CAST(price AS DOUBLE) AS price,
-           ROUND(CAST(price AS DOUBLE)
-                 / CAST(SUM(price) OVER (PARTITION BY grp) AS DOUBLE) * 100,
-                 4) AS pct_of_group,
-           ROUND(CAST(price AS DOUBLE)
-                 / CAST(SUM(price) OVER () AS DOUBLE) * 100, 4) AS pct_of_total
+           FLOOR((CAST(price AS DOUBLE)
+                  / CAST(SUM(price) OVER (PARTITION BY grp) AS DOUBLE) * 100)
+                 * 10000 + 0.5) / 10000 AS pct_of_group,
+           FLOOR((CAST(price AS DOUBLE)
+                  / CAST(SUM(price) OVER () AS DOUBLE) * 100)
+                 * 10000 + 0.5) / 10000 AS pct_of_total
     FROM r
     """,
 )
@@ -766,10 +768,10 @@ def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp",
         "o_orderkey",
         pd_.alias("price"),
-        F.round(
-            pd_ / F.sum("price").over(wg).cast("double") * 100, 4
+        q4(
+            pd_ / F.sum("price").over(wg).cast("double") * 100
         ).alias("pct_of_group"),
-        F.round(
-            pd_ / F.sum("price").over(wall).cast("double") * 100, 4
+        q4(
+            pd_ / F.sum("price").over(wall).cast("double") * 100
         ).alias("pct_of_total"),
     )
