@@ -20,6 +20,11 @@ from luxor_db_spark.registry import query
 
 _D = 0.85  # damping
 _N_ITER = 3  # fixed, unrolled in both engines
+# All per-iteration quantization uses FLOOR(x*1e12 + 0.5)/1e12, not
+# ROUND(x, 12): contributions are rational (w·r/outw with small integer
+# denominators), so ROUND ties between Spark and DuckDB are possible;
+# floor-quantization is the identical IEEE-754 expression in both
+# engines (functions/exact.py q4 doctrine, at 12 decimals).
 
 
 def _pagerank_oracle() -> str:
@@ -30,7 +35,7 @@ def _pagerank_oracle() -> str:
         its.append(f"""
     c{k} AS (
       SELECT e.dst,
-             SUM(CAST(ROUND(e.w * {prev}.r / o.outw, 12)
+             SUM(CAST(FLOOR(e.w * {prev}.r / o.outw * 1e12 + 0.5) / 1e12
                       AS DECIMAL(28,12))) AS contrib
       FROM edges e JOIN outw o ON e.src = o.src
                    JOIN {prev} ON e.src = {prev}.node
@@ -38,8 +43,9 @@ def _pagerank_oracle() -> str:
     ),
     r{k} AS (
       SELECT n.node,
-             ROUND(0.15 / 25 + 0.85 * CAST(COALESCE(c{k}.contrib, 0)
-                                           AS DOUBLE), 12) AS r
+             FLOOR((0.15 / 25 + 0.85 * CAST(COALESCE(c{k}.contrib, 0)
+                                            AS DOUBLE)) * 1e12 + 0.5) / 1e12
+               AS r
       FROM nodes n LEFT JOIN c{k} ON n.node = c{k}.dst
     )""")
         prev = f"r{k}"
@@ -57,7 +63,7 @@ def _pagerank_oracle() -> str:
     outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
     r0 AS (SELECT node, 1.0 / 25 AS r FROM nodes),
     {",".join(its)}
-    SELECT node AS nation_key, ROUND(r, 6) AS pagerank
+    SELECT node AS nation_key, FLOOR(r * 1e6 + 0.5) / 1e6 AS pagerank
     FROM {prev}
     """
 
@@ -110,8 +116,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(
                 F.sum(
-                    F.round(
-                        F.col("w") * F.col("r") / F.col("outw"), 12
+                    (
+                        F.floor(
+                            F.col("w") * F.col("r") / F.col("outw") * 1e12
+                            + 0.5
+                        )
+                        / 1e12
                     ).cast("decimal(28,12)")
                 ).alias("contrib")
             )
@@ -120,15 +130,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(contrib), nodes.node == F.col("dst"), "left"
         ).select(
             "node",
-            F.round(
-                0.15 / 25
-                + 0.85
-                * F.coalesce(F.col("contrib"), F.lit(0)).cast("double"),
-                12,
+            (
+                F.floor(
+                    (
+                        0.15 / 25
+                        + 0.85
+                        * F.coalesce(F.col("contrib"), F.lit(0)).cast(
+                            "double"
+                        )
+                    )
+                    * 1e12
+                    + 0.5
+                )
+                / 1e12
             ).alias("r"),
         )
     return r.select(
-        F.col("node").alias("nation_key"), F.round("r", 6).alias("pagerank")
+        F.col("node").alias("nation_key"),
+        (F.floor(F.col("r") * 1e6 + 0.5) / 1e6).alias("pagerank"),
     )
 
 

@@ -171,3 +171,49 @@ def test_driver_window_policy_matches_observed_rounds():
             f"round {rnd}: driver checked keys outside the predicted "
             f"window (policy drift?): {sorted(stray)}"
         )
+
+
+def test_no_rational_ratio_round_in_oracles():
+    """Rounding-tie doctrine guard (functions/exact.py): ROUND(x, s)
+    diverges between Spark (HALF_UP on the decimal repr) and DuckDB
+    (rounds the binary value) whenever x sits on a rounding tie, and
+    RATIONAL ratios — counts, 2-decimal money — hit ties routinely
+    (llm_embed_norm failed three driver rounds this way; 12 more keys
+    carried the latent class until the round-5 sweep). Any ROUND whose
+    argument divides without an irrational-valued function must use the
+    FLOOR(x*10^s + 0.5)/10^s form (q4/q4_sql) instead. Allowlist:
+    ts_anomaly's sigma is a SQRT from an earlier CTE; ts_ewma's weights
+    are full-mantissa 0.7^k literals — both irrational-valued."""
+    import re
+
+    from luxor_db_spark.registry import ORACLES, load_all_queries
+
+    load_all_queries()
+    allow = {"ts_anomaly", "ts_ewma"}
+    irrational = re.compile(
+        r"sqrt|ln\(|log|pow|sin\(|cos\(|asin|acos|atan|exp\(|stddev|corr"
+        r"|covar|quantile|median|cosine|radians|degrees",
+        re.I,
+    )
+    offenders = []
+    for key, sql in sorted(ORACLES.items()):
+        if key in allow:
+            continue
+        for m in re.finditer(r"ROUND\(", sql):
+            i = m.end()
+            depth, j = 1, i
+            while depth and j < len(sql):
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                j += 1
+            expr = sql[i : j - 1]
+            if irrational.search(expr):
+                continue
+            if "/" in expr:
+                offenders.append(f"{key}: ROUND({expr.strip()[:60]}...)")
+    assert not offenders, (
+        "rational-ratio ROUND in oracle SQL (cross-engine tie class — use "
+        f"the FLOOR quantization form, see functions/exact.py): {offenders}"
+    )
