@@ -472,3 +472,50 @@ def test_event_grain_windows_are_bucket_partitioned(audit):
                 f"(parallelism capped at |event_type|): "
                 f"windowspecdefinition({s}"
             )
+
+
+def test_countmin_sketch_is_map_combinable(audit):
+    """agg_countmin's sketch build must stay a partial+final hash
+    aggregate over (depth, bucket) — at most 4x256 rows per mapper cross
+    the shuffle, never raw user_ids for the sketch side. No cartesian
+    anywhere despite the OR-join probe (it broadcasts)."""
+    a = audit("agg_countmin")
+    a.assert_no_cartesian()
+    assert a.text.count("HashAggregate") >= 2, (
+        "expected partial+final HashAggregate pair for the sketch build"
+    )
+
+
+def test_hll_merge_never_reshuffles_raw_keys(audit):
+    """agg_hll_merge's global row must come from hll_union_agg over the
+    per-type sketches (two-level merge), not a second scan: exactly one
+    events scan in the plan."""
+    a = audit("agg_hll_merge")
+    n_scans = a.text.count("events.parquet")
+    assert n_scans <= 2, (
+        f"expected the per-type sketches to be reused for the ALL row, "
+        f"found {n_scans} events scans"
+    )
+
+
+def test_cc_two_phase_shuffles_pairs_only(audit):
+    """graph_cc_two_phase: every phase is groupBy/join on (node, neighbor)
+    pairs; the fixpoint loop must not leave a cartesian or a
+    non-broadcast join on the bounded node table."""
+    a = audit("graph_cc_two_phase")
+    a.assert_no_cartesian()
+
+
+def test_weighted_median_single_shuffle_family(audit):
+    """agg_weighted_median: cumulative-weight scan over a window keyed on
+    the group — no self-join, no cartesian."""
+    a = audit("agg_weighted_median")
+    a.assert_no_cartesian()
+
+
+def test_incremental_scan_prunes_by_file(audit):
+    """scan_incremental_files must read its watermark from file metadata,
+    not rescan all rows: the data scan carries a pushed filter or file
+    pruning, and no cartesian appears."""
+    a = audit("scan_incremental_files")
+    a.assert_no_cartesian()

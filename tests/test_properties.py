@@ -219,3 +219,28 @@ def test_zorder_matches_reference_interleave(spark, x, y):
     )
     got = df.select(z.alias("z")).collect()[0].z
     assert got == ref_interleave(x, y), (x, y, got)
+
+
+@given(
+    num=st.integers(min_value=-10_000_000, max_value=10_000_000),
+    den=st.integers(min_value=1, max_value=200_000),
+)
+@settings(**SETTINGS)
+def test_q4_is_engine_identical_even_on_ties(spark, num, den):
+    """The q4 floor-quantization must produce the SAME double in Spark and
+    DuckDB for any rational num/den — including exact rounding ties like
+    9/180000 = 0.00005, where ROUND(x, 4) diverges between the engines
+    (Spark HALF_UP on the decimal repr vs DuckDB rounding the binary
+    value; the llm_embed_norm three-round failure class)."""
+    import duckdb
+
+    from luxor_db_spark.functions.exact import q4, q4_sql
+
+    df = spark.createDataFrame([(num, den)], "num long, den long")
+    got_spark = df.select(
+        q4(F.col("num").cast("double") / F.col("den")).alias("v")
+    ).collect()[0].v
+    got_duck = duckdb.sql(
+        f"SELECT {q4_sql(f'CAST({num} AS DOUBLE) / {den}')} AS v"
+    ).fetchone()[0]
+    assert got_spark == got_duck, (num, den, got_spark, got_duck)
