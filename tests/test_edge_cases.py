@@ -312,3 +312,27 @@ def test_trailing_halo_exact_across_short_buckets(spark):
         .collect()
     }
     assert got == want
+
+
+def test_configure_right_sizes_local_shuffle_partitions_safely(spark):
+    """session.configure may adjust spark.sql.shuffle.partitions ONLY when
+    (a) the master is local and (b) the conf still holds Spark's untouched
+    default of 200 — a deliberate setting must survive configure()
+    untouched (cluster deployments are never overridden)."""
+    from luxor_db_spark.session import configure
+
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # Case 1: deliberate non-default value is preserved.
+        spark.conf.set("spark.sql.shuffle.partitions", "77")
+        configure(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "77"
+        # Case 2: untouched default 200 on a local master is right-sized.
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        configure(spark)
+        got = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert got != 200 and got > 0, (
+            "local default-200 session should be right-sized to core count"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
