@@ -110,7 +110,11 @@ def _load_driver_checked(max_round: int | None = None) -> dict[str, int]:
         for key, entry in data.items():
             if isinstance(entry, dict) and _entry_green(entry):
                 green[key] = max(green.get(key, 0), rnd)
-    return green if green else {k: 1 for k in _FALLBACK_GREEN}
+    if not green and max_round is None:
+        # Only the live ledger falls back; a bounded reconstruction of an
+        # early round (rounds < N all filtered out) is genuinely empty.
+        return {k: 1 for k in _FALLBACK_GREEN}
+    return green
 
 
 _LAST_GREEN_ROUND: dict[str, int] = _load_driver_checked()

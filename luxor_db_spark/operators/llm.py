@@ -169,9 +169,12 @@ def llm_dedup_near(
     - ``skew_safe=True`` (the 100 TB path): hot shingles are found with a
       map-side-combinable groupBy count (the shuffle carries partial
       (s, count) pairs — bounded per shingle by #map-partitions, immune
-      to posting-list skew) and dropped via a broadcast anti-join BEFORE
-      any shuffle of the postings. Costs one extra scan+explode; at Zipf
-      scale that is the cheap side of the trade.
+      to posting-list skew) and dropped via an un-hinted left_anti join
+      BEFORE the candidate self-join: AQE picks broadcast while the hot
+      set is small and falls back to a skew-split shuffle join when the
+      Zipf head outgrows the broadcast threshold (a forced broadcast
+      would collect an unbounded hot set to the driver). Costs one extra
+      scan+explode; at Zipf scale that is the cheap side of the trade.
 
     This is the oracle-checkable core; `llm_dedup_minhash` is the
     sub-quadratic scale path.
@@ -189,7 +192,7 @@ def llm_dedup_near(
             .filter(F.col("df") > _DF_CAP)
             .select("s")
         )
-        sh = sh_all.join(broadcast(hot), "s", "left_anti")
+        sh = sh_all.join(hot, "s", "left_anti")
     else:
         wdf = Window.partitionBy("s")
         sh = (

@@ -568,6 +568,9 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = r.repartitionByRange(
         npart, F.col("rev").desc(), F.col("o_custkey")
     ).withColumn("pid", F.spark_partition_id())
+    # Repeated invocations build the identical logical plan, and Spark's
+    # CacheManager dedupes persist() by analyzed plan — one cache entry per
+    # (session, sf_dir), not one per call.
     part = part.persist()
 
     # Local prefix sums: one window task per range partition, in parallel.
@@ -725,7 +728,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     off = bucket_offsets(j, ["event_type"], BKT, dev)
     c = loc.join(F.broadcast(off), ["event_type", BKT]).withColumn(
-        "cusum_n", F.col("_lrun") + F.coalesce(F.col("_off"), F.lit(0))
+        "cusum_n", F.col("_lrun") + F.col("_off")
     )
     # Deterministic argmax by (|cusum| DESC, ts, event_id): min of a
     # (-|cusum|, ts, event_id) struct — lexicographic, map-combinable.

@@ -327,12 +327,16 @@ def test_configure_right_sizes_local_shuffle_partitions_safely(spark):
         spark.conf.set("spark.sql.shuffle.partitions", "77")
         configure(spark)
         assert spark.conf.get("spark.sql.shuffle.partitions") == "77"
-        # Case 2: untouched default 200 on a local master is right-sized.
+        # Case 2: untouched default 200 on a local master is right-sized
+        # to exactly the env/core count configure() derives.
+        import os
+
         spark.conf.set("spark.sql.shuffle.partitions", "200")
         configure(spark)
-        got = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        assert got != 200 and got > 0, (
-            "local default-200 session should be right-sized to core count"
+        got = spark.conf.get("spark.sql.shuffle.partitions")
+        expected = os.environ.get("SPARK_GRAFT_CPUS") or str(
+            spark.sparkContext.defaultParallelism
         )
+        assert got == expected, (got, expected)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", original)

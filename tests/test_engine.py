@@ -190,16 +190,20 @@ def test_no_rational_ratio_round_in_oracles():
 
     load_all_queries()
     allow = {"ts_anomaly", "ts_ewma"}
+    # Function CALLS only (word boundary + open paren): a column named
+    # exposure_pct or power_users must not exempt its expression.
     irrational = re.compile(
-        r"sqrt|ln\(|log|pow|sin\(|cos\(|asin|acos|atan|exp\(|stddev|corr"
-        r"|covar|quantile|median|cosine|radians|degrees",
+        r"\b(sqrt|ln|log|log2|log10|pow|power|sin|cos|tan|asin|acos|atan"
+        r"|atan2|exp|stddev_samp|stddev_pop|stddev|var_samp|var_pop|corr"
+        r"|covar_samp|covar_pop|quantile_cont|quantile_disc|percentile"
+        r"|median|list_cosine_similarity|radians|degrees)\s*\(",
         re.I,
     )
     offenders = []
     for key, sql in sorted(ORACLES.items()):
         if key in allow:
             continue
-        for m in re.finditer(r"ROUND\(", sql):
+        for m in re.finditer(r"\bROUND\(", sql, re.I):
             i = m.end()
             depth, j = 1, i
             while depth and j < len(sql):

@@ -42,10 +42,14 @@ def test_embed_keys_parity_at_sf01(key, spark):
 
     from luxor_db_spark.catalog import table_path
     from luxor_db_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
 
-    sf01 = "/root/testdata/sf0.1"
+    # Sibling sf0.1 of whatever fixture root the suite is pointed at, so
+    # a relocated LUXOR_TEST_SF_DIR still exercises the pin (and a truly
+    # absent sf0.1 is a visible skip, not a silent one).
+    sf01 = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.1")
     if not os.path.isdir(sf01):
-        pytest.skip("sf0.1 fixtures not present")
+        pytest.skip(f"sf0.1 fixtures not present at {sf01}")
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     con.execute(
