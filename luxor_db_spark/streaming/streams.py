@@ -425,6 +425,44 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPK_K = 3
+_TOPK_STATE = T.StructType(
+    [T.StructField("top", T.ArrayType(T.DoubleType()))]
+)
+_TOPK_OUT = T.StructType(
+    [
+        T.StructField("window_start", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("rk", T.IntegerType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _topk_state_fn(key, pdf_iter, state):
+    """True O(k) streaming top-k: the state per (window, type) is ONLY the
+    current k largest values — compacted on every batch, never the full
+    value list. Emits the then-current top-k each batch; with the final
+    batch's emission being the window's answer (the drain below keeps one
+    emission per key per batch and the last one is total)."""
+    top = list(state.get[0]) if state.exists else []
+    for pdf in pdf_iter:
+        top = sorted(top + pdf["value"].tolist(), reverse=True)[:_TOPK_K]
+    state.update((top,))
+    import pandas as pd
+
+    ws, et = key
+    yield pd.DataFrame(
+        {
+            "window_start": [ws] * len(top),
+            "event_type": [et] * len(top),
+            "rk": range(1, len(top) + 1),
+            "value": top,
+        }
+    )
+
+
+
 @query(
     "stream_windowed_topk",
     oracle="""
@@ -440,27 +478,51 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r WHERE rk <= 3
     """,
 )
-def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_windowed_topk(
+    spark: SparkSession, sf_dir: str, *, bounded_state: bool = False
+) -> DataFrame:
     """Streaming per-window top-k: the 3 largest values per (1-hour
-    window, event type). Rank windows aren't supported in streaming, so
-    the query aggregates collect_list per (window, type), then sorts and
-    slices to 3 at drain time, exploded to (window, type, rank, value)
-    rows batch-side.
+    window, event type).
+
+    Two implementations, identical output (equality-tested):
+
+    - default: collect_list per (window, type), sort + slice to 3 at
+      drain, exploded batch-side. State caveat: slice/sort_array apply to
+      the aggregate's OUTPUT, so the state store holds the FULL
+      per-(window, type) value list — O(rows-per-window), acceptable only
+      because windows are time-bounded (1 h).
+    - ``bounded_state=True``: custom incremental top-k via
+      ``applyInPandasWithState`` — state per key is the k-element array
+      itself, compacted on every batch (`_topk_state_fn`), i.e. true
+      O(k) state however many rows a window receives. This is the shape
+      for unbounded-cardinality windows at 100 TB; Spark's built-in
+      streaming aggregates cannot compact mid-aggregation. Each batch
+      emits the then-current top-k; the single-file fixture source
+      (maxFilesPerTrigger=1 over one file) yields exactly one data batch,
+      so the emission IS the final answer. On a multi-batch source,
+      retain the last emission per key (e.g. foreachBatch upsert by key).
 
     Oracle-deterministic because ranks beyond tie boundaries emit
-    identical VALUES regardless of which tied row wins a slot.
-
-    Scale shape — state caveat: slice/sort_array apply to the aggregate's
-    OUTPUT, so the streaming state store holds the FULL per-(window, type)
-    value list, i.e. O(rows-per-window) state, not O(k). That is
-    acceptable here because windows are time-bounded (1 h) and the grain
-    is (window, type), but for unbounded-cardinality windows the real
-    bounded-state path is a custom incremental top-k via
-    applyInPandasWithState (compact the buffer to k on every batch) —
-    Spark's built-in streaming aggregates cannot compact mid-aggregation.
-    The stream still shuffles once on the (window, type) group key.
+    identical VALUES regardless of which tied row wins a slot. Both forms
+    shuffle once on the (window, type) group key.
     """
     ev = stream_events(spark, sf_dir)
+    if bounded_state:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        keyed = ev.select(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+            "value",
+        )
+        out = keyed.groupBy("window_start", "event_type").applyInPandasWithState(
+            _topk_state_fn,
+            outputStructType=_TOPK_OUT,
+            stateStructType=_TOPK_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return _drain(out, "stream_windowed_topk_bounded", "append")
     agg = ev.groupBy(
         F.window("ts", "1 hour"), "event_type"
     ).agg(
