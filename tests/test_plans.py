@@ -472,6 +472,10 @@ def test_event_grain_windows_are_bucket_partitioned(audit):
                 f"(parallelism capped at |event_type|): "
                 f"windowspecdefinition({s}"
             )
+        # The per-bucket ledgers/offsets must reach the event-grain side
+        # as broadcasts, never as shuffled joins of the fact rows.
+        if key != "win_max_concurrent":  # offsets join a ledger-grain agg
+            a.assert_broadcasts(at_least=1)
 
 
 def test_countmin_sketch_is_map_combinable(audit):
