@@ -222,6 +222,103 @@ def test_zorder_matches_reference_interleave(spark, x, y):
 
 
 @given(
+    sizes=st.lists(st.integers(min_value=0, max_value=7), min_size=1, max_size=8),
+    k=st.integers(min_value=1, max_value=9),
+    two_series=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_trailing_halo_equals_global_window_any_layout(spark, sizes, k, two_series):
+    """For ANY bucket layout (including empty buckets, k larger than every
+    bucket, k larger than the whole series) and any frame width k, the
+    bucketed trailing window over with_trailing_halo must equal the global
+    per-series window. This is the load-bearing guarantee behind the
+    de-weakened event-grain family (win_moving_median, win_bollinger,
+    ts_cusum_changepoint, win_max_concurrent)."""
+    from luxor_db_spark.operators.bucketed import BKT, HALO, with_trailing_halo
+
+    rows = []
+    for grp in ["a", "b"] if two_series else ["a"]:
+        i = 0
+        for b, sz in enumerate(sizes):
+            for _ in range(sz):
+                rows.append((grp, b, i, float(i * 3 + (1 if grp == "b" else 0))))
+                i += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "grp string, bkt int, seq long, v double")
+
+    glob = Window.partitionBy("grp").orderBy("seq").rowsBetween(-k, 0)
+    want = {
+        (r.grp, r.seq, round(r.s, 6), r.n)
+        for r in df.select(
+            "grp",
+            "seq",
+            F.sum("v").over(glob).alias("s"),
+            F.count(F.lit(1)).over(glob).alias("n"),
+        ).collect()
+    }
+
+    aug = with_trailing_halo(df, ["grp"], ["seq"], F.col("bkt"), k)
+    wb = Window.partitionBy("grp", BKT).orderBy("seq").rowsBetween(-k, 0)
+    got = {
+        (r.grp, r.seq, round(r.s, 6), r.n)
+        for r in aug.select(
+            "grp",
+            "seq",
+            HALO,
+            F.sum("v").over(wb).alias("s"),
+            F.count(F.lit(1)).over(wb).alias("n"),
+        )
+        .filter(~F.col(HALO))
+        .collect()
+    }
+    assert got == want, (sizes, k)
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=7), min_size=1, max_size=8),
+)
+@settings(**SETTINGS)
+def test_bucket_offsets_reconstruct_global_running_sum(spark, sizes):
+    """Local per-bucket cumsum + bucket_offsets' exclusive prefix offsets
+    must equal the global running sum for any bucket layout (the two-level
+    prefix-sum decomposition; exact because values are integers here, as
+    the production paths use DECIMAL)."""
+    from luxor_db_spark.operators.bucketed import bucket_offsets
+
+    rows = []
+    i = 0
+    for b, sz in enumerate(sizes):
+        for _ in range(sz):
+            rows.append(("a", b, i, i * 7 % 13))
+            i += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "grp string, bkt int, seq long, v long")
+
+    glob = (
+        Window.partitionBy("grp")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {(r.seq, r.s) for r in df.select("seq", F.sum("v").over(glob).alias("s")).collect()}
+
+    off = bucket_offsets(df, ["grp"], "bkt", F.col("v"))
+    loc = (
+        Window.partitionBy("grp", "bkt")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        (r.seq, r.s)
+        for r in df.join(F.broadcast(off), ["grp", "bkt"])
+        .select("seq", (F.sum("v").over(loc) + F.col("_off")).alias("s"))
+        .collect()
+    }
+    assert got == want, sizes
+
+
+@given(
     num=st.integers(min_value=-10_000_000, max_value=10_000_000),
     den=st.integers(min_value=1, max_value=200_000),
 )
