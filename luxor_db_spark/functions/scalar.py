@@ -309,14 +309,27 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_map")  # rows-only: map hashing across engines is unreliable (§2.8)
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           CAST(len(json_keys(props)) AS INT) AS n_entries,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+           list_aggregate(list_transform(json_keys(props),
+               kk -> CAST(json_extract_string(props, '$.' || kk) AS BIGINT)),
+               'sum') AS vals_sum
+    FROM events WHERE event_id < 1000
+    """,
+)
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON props → MapType: keys/values/lookup/size, exercised through the
     full MapType surface but PROJECTED TO SCALARS in the output (map
-    ordering prevents a stable cross-engine hash → rows-only; and the
-    driver canonicalizes even rows-only outputs via a pandas sort that
-    cannot hash map/array cells — r4 driver crash, §7.3 shape contract:
-    no Array/Map/Struct/Binary column in any registered output)."""
+    ordering prevents a stable cross-engine hash of the map itself; the
+    scalar projections ARE deterministic, so they carry a full SQL oracle
+    via DuckDB's json_keys/json_extract — r4 driver crash fixed, §7.3
+    shape contract: no Array/Map/Struct/Binary column in any registered
+    output)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
     m = F.from_json(F.col("props"), "map<string,int>")
     return ev.select(

@@ -131,9 +131,17 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("r_name", F.col("i").cast("int").alias("i"))
 
 
-@query("udtf_python")  # rows-only: genuine Python UDTF (Spark 4 @udtf)
+@query(
+    "udtf_python",
+    oracle="""
+    SELECT 'band_' || CAST(i AS VARCHAR) AS bucket, i * 100000.0 AS bound
+    FROM generate_series(0, 4) AS t(i)
+    """,
+)
 def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Python UDTF (Spark 4): one input row → variable output rows."""
+    """Python UDTF (Spark 4): one input row → variable output rows. The
+    band arithmetic ((hi-lo)/steps on exact floats) is deterministic, so
+    the table function's output carries a direct SQL oracle."""
     from pyspark.sql.functions import lit, udtf
 
     @udtf(returnType="bucket: string, bound: double")

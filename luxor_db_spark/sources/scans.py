@@ -72,18 +72,34 @@ def scan_union_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(p, p)
 
 
-@query("sink_parquet")  # rows-only: sink round-trip
+@query(
+    "sink_parquet",
+    oracle="SELECT * FROM lineitem WHERE l_quantity > 45.0",
+)
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parquet sink: distributed write, then re-read the committed snapshot."""
+    """Parquet sink: distributed write, then re-read the committed snapshot.
+
+    Oracle-checked round-trip: Parquet is lossless for every lineitem type
+    (DECIMAL/DATE/STRING), so the re-read must equal the filtered source
+    bit-for-bit — the write path's correctness contract, not just a smoke
+    run."""
     df = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45.0)
     out = _tmpdir("sink_parquet")
     df.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
 
 
-@query("sink_partitioned")  # rows-only: partitioned sink round-trip
+@query(
+    "sink_partitioned",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned write; re-read prunes by partition column.
+    Oracle-checked: the pruned re-read must equal the source filter (the
+    partition column survives the directory-encoding round-trip).
 
     At 100 TB this layout is what makes ``WHERE l_returnflag='R'`` a
     partition-pruned scan instead of a full read.
@@ -97,9 +113,19 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
 
 
-@query("scan_csv_json")  # rows-only: lossy text formats, round-trip check
+@query(
+    "scan_csv_json",
+    oracle="""
+    SELECT event_id AS row_id, event_type AS tag FROM events
+    WHERE event_id < 1000
+    UNION ALL
+    SELECT p_partkey AS row_id, p_type AS tag FROM part
+    """,
+)
 def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV + JSON ingest round-trip with explicit schemas.
+    """CSV + JSON ingest round-trip with explicit schemas. The projected
+    id/tag columns are text-format-lossless (integers + strings), so the
+    round-trip is oracle-checked against the sources directly.
 
     Events → JSON lines → read back with a declared schema (schema inference
     is a scale anti-pattern: it triggers an extra full pass).
@@ -145,7 +171,13 @@ def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_bucketed")  # rows-only: bucketed-table round-trip
+@query(
+    "sink_bucketed",
+    oracle="""
+    SELECT l_orderkey, l_quantity, o_orderpriority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
 def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed sink + co-located join: both sides pre-hashed into 8 buckets
     on the join key, so the re-read join plans with ZERO Exchange — the
@@ -314,7 +346,12 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
-@query("scan_cached")  # rows-only: cache state is engine-internal
+@query(
+    "scan_cached",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 0
+    """,
+)
 def scan_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cached scan: persist() pins the deserialized columnar batches in
     executor memory (MEMORY_AND_DISK), so every query after the first reads
@@ -328,43 +365,107 @@ def scan_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scan_sample_stratified")  # rows-only: seeded per-stratum sampler
+@query(
+    "scan_sample_stratified",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_total, TRUE AS rate_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def scan_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling (sampleBy): different Bernoulli fractions per
     stratum — e.g. keep 10% of common 'O' orders but 80% of rare statuses
-    to balance a training set. Per-row decisions, no shuffle."""
+    to balance a training set. Per-row decisions, no shuffle.
+
+    The sampled ROWS are seeded-RNG-internal (not cross-engine checkable),
+    so the registered output is the per-stratum audit: exact stratum
+    totals plus a rate_ok flag asserting the realized sampling rate sits
+    within 5σ of its target fraction — a Bernoulli sampler that fails this
+    is broken, and the oracle pins exactly that contract."""
+    fracs = {"O": 0.1, "F": 0.1, "P": 0.8}
     o = load_table(spark, sf_dir, "orders")
-    return o.sampleBy(
-        "o_orderstatus", {"O": 0.1, "F": 0.1, "P": 0.8}, seed=42
-    ).select("o_orderkey", "o_orderstatus")
+    sampled = o.sampleBy("o_orderstatus", fracs, seed=42)
+    n_s = sampled.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    n_t = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_total"))
+    p = F.element_at(
+        F.create_map(
+            *[x for kv in fracs.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        ),
+        F.col("o_orderstatus"),
+    )
+    tol = 5 * F.sqrt(p * (1 - p) / F.col("n_total")) + 1 / F.col("n_total")
+    return (
+        n_t.join(F.broadcast(n_s), "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            "n_total",
+            (
+                F.abs(
+                    F.coalesce(F.col("n_sampled"), F.lit(0)) / F.col("n_total")
+                    - p
+                )
+                <= tol
+            ).alias("rate_ok"),
+        )
+    )
 
 
-@query("fn_row_id")  # rows-only: partition-layout-dependent ids
+@query(
+    "fn_row_id",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(*) AS n_distinct_ids,
+           TRUE AS ids_nonneg
+    FROM documents
+    """,
+)
 def fn_row_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed unique id assignment: monotonically_increasing_id packs
     (partition_id << 33 | row_in_partition) — unique with zero
     coordination, but NOT dense and NOT stable across repartitioning
     (document ids for ingest should prefer a content hash; this is the
-    ephemeral-id tool)."""
+    ephemeral-id tool).
+
+    The id VALUES are partition-layout-dependent, so the registered output
+    is the tool's contract as an audit: every row got an id, all ids are
+    distinct (n_distinct_ids must equal n_rows — the oracle emits COUNT(*)
+    for both) and non-negative."""
     d = load_table(spark, sf_dir, "documents")
     df = d.select("doc_id", F.monotonically_increasing_id().alias("row_id"))
-    # Contract check inline: ids unique even though not dense.
-    return df
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("row_id")).alias("n_distinct_ids"),
+        (F.min("row_id") >= 0).alias("ids_nonneg"),
+    )
 
 
-@query("scan_schema_merge")  # rows-only: schema-evolution read
+@query(
+    "scan_schema_merge",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey <= 2000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
 def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution scan: two Parquet file generations with different
     columns read as one table via mergeSchema — the footer union becomes
     the read schema and missing columns null-fill per file. The ingest
     pattern that lets a 100 TB table gain columns without rewriting
-    history (pay the footer-merge cost only when schemas actually drift)."""
+    history (pay the footer-merge cost only when schemas actually drift).
+
+    Generations take a deterministic key slice (not LIMIT, whose row choice
+    is scheduler-dependent) so the merged read is oracle-checkable: gen-1
+    rows must surface with a NULL for the column they predate."""
     base = _tmpdir("schema_merge")
-    o = load_table(spark, sf_dir, "orders")
-    o.select("o_orderkey", "o_totalprice").limit(500).write.mode(
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    o.select("o_orderkey", "o_totalprice").write.mode(
         "overwrite"
     ).parquet(f"{base}/gen=1")
-    o.select("o_orderkey", "o_totalprice", "o_orderpriority").limit(500).write.mode(
+    o.select("o_orderkey", "o_totalprice", "o_orderpriority").write.mode(
         "overwrite"
     ).parquet(f"{base}/gen=2")
     return spark.read.option("mergeSchema", "true").parquet(
@@ -448,7 +549,14 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scan_incremental_files")  # rows-only: mtimes are env-dependent
+@query(
+    "scan_incremental_files",
+    oracle="""
+    SELECT FALSE AS is_new, CAST(200 AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT TRUE AS is_new, CAST(400 AS BIGINT) AS n_rows
+    """,
+)
 def scan_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-level incremental batch processing: write a two-delivery
     landing dir, then process ONLY files modified after the first
@@ -456,8 +564,11 @@ def scan_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     hidden column — the batch complement to streaming's checkpoint log
     (reprocessing window = files newer than the last successful run).
 
-    Returns per-file (file_name, n_rows, is_new) with is_new=true only
-    for the second delivery — asserting the watermark actually filters.
+    Returns the delivery-grain audit (is_new, n_rows) — is_new=true only
+    for the second delivery's rows — asserting the watermark actually
+    filters. Delivery row counts are deterministic (200 then 400), so the
+    audit is oracle-checked; per-file detail stays internal because part
+    file names and mtimes are environment-dependent.
 
     Scale shape: the mtime predicate is evaluated on FILE metadata before
     row decoding (constant per split), so old deliveries cost directory
@@ -480,10 +591,7 @@ def scan_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0].hwm  # one scalar: the last-successful-run watermark
     fresh = F.col("_metadata.file_modification_time") > F.lit(hwm)
     return (
-        all_files.select(
-            F.col("_metadata.file_name").alias("file_name"),
-            fresh.alias("is_new"),
-        )
-        .groupBy("file_name", "is_new")
+        all_files.select(fresh.alias("is_new"))
+        .groupBy("is_new")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
