@@ -523,3 +523,17 @@ def test_incremental_scan_prunes_by_file(audit):
     pruning, and no cartesian appears."""
     a = audit("scan_incremental_files")
     a.assert_no_cartesian()
+
+
+def test_pagerank_iterations_run_on_pinned_edges(audit):
+    """graph_pagerank: the unrolled iterations must NOT re-derive the
+    edge table — without the localCheckpoint pin, edges + outw re-appear
+    as subtrees in every iteration and the plan scans lineitem 6× (one
+    full-data pass per branch at 100 TB). Pinned, the final plan's
+    lineage starts at the ≤|nations|² edge table: zero fact scans."""
+    a = audit("graph_pagerank")
+    assert "lineitem" not in a.text.lower(), (
+        "pagerank iterations re-derive edges from the fact table; "
+        "the localCheckpoint pin is gone"
+    )
+    a.assert_no_cartesian()
