@@ -804,32 +804,34 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast) against the bounded query set.
     """
     ev = load_table(spark, sf_dir, "events")
-    legs = [
-        ev.select(
-            F.lit(d).alias("d"),
-            _cms_bucket_col(d).alias("bucket"),
-        )
-        for d in range(4)
-    ]
-    allb = legs[0]
-    for leg in legs[1:]:
-        allb = allb.unionAll(leg)
+    # All 4 depth buckets in ONE scan: posexplode of the per-row bucket
+    # array (pos = depth). The union-of-4-selects form read events once
+    # per depth — 4 full-data passes at scale for the same rows.
+    allb = ev.select(
+        F.posexplode(
+            F.array(*[_cms_bucket_col(d) for d in range(4)])
+        ).alias("d", "bucket")
+    )
     sk = allb.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
+    # Long-form probe with ONE broadcast of the whole sketch: each probe
+    # key emits its 4 (depth, bucket) coordinates, joins the ≤4×256-row
+    # sketch once, and min-over-depths is a groupBy MIN. The per-depth
+    # join-loop form embedded a separately-filtered broadcast COPY of the
+    # sketch subplan per depth — 4 more full-data passes, no reuse.
     q = ev.filter(F.col("user_id") < 20).select("user_id").distinct()
     probe = q.select(
         "user_id",
-        *[_cms_bucket_col(d).alias(f"b{d}") for d in range(4)],
+        F.posexplode(
+            F.array(*[_cms_bucket_col(d) for d in range(4)])
+        ).alias("d", "bucket"),
     )
-    est = None
-    for d in range(4):
-        skd = sk.filter(F.col("d") == d).select(
-            F.col("bucket").alias(f"b{d}"), F.col("cnt").alias(f"c{d}")
-        )
-        probe = probe.join(F.broadcast(skd), f"b{d}")
-    est = probe.select(
-        "user_id",
-        F.least(*[F.col(f"c{d}") for d in range(4)]).alias("cms_estimate"),
+    # Inner join is total: a probed key's own events incremented each of
+    # its 4 coordinates, so cnt >= 1 exists for every (d, bucket) row.
+    est = (
+        probe.join(F.broadcast(sk), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cms_estimate"))
     )
     ex = (
         ev.filter(F.col("user_id") < 20)
@@ -890,23 +892,29 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     `agg_approx_distinct`/`agg_hll_merge` are that path.
     """
     o = load_table(spark, sf_dir, "orders")
-    legs = []
-    for col in ("o_custkey", "o_orderstatus", "o_totalprice",
-                "o_orderpriority"):
-        legs.append(
-            o.agg(
-                F.lit(col).alias("col"),
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                F.count(col).cast("bigint").alias("n_non_null"),
-                F.countDistinct(col).cast("bigint").alias("n_distinct"),
-                F.min(col).cast("string").alias("min_v"),
-                F.max(col).cast("string").alias("max_v"),
-            )
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionAll(leg)
-    return out
+    cols = ("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).cast("bigint").alias(f"{c}__nn"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    # Long form via stack(): |columns| rows out of the ONE aggregated row —
+    # the earlier union-of-per-column-aggregates form scanned orders once
+    # per column (4 full passes).
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__min`, `{c}__max`" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col, n_non_null, n_distinct, min_v, max_v)"
+        ),
+        "n_rows",
+    ).select("col", "n_rows", "n_non_null", "n_distinct", "min_v", "max_v")
 
 
 @query("agg_hll_merge")  # rows-only: Datasketches HLL is engine-internal

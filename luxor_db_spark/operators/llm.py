@@ -1652,30 +1652,56 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same expression shape in both engines, and the one irrational step
     (LN) rounds at 4 decimals after the per-doc sum (exact.py rule 4).
 
-    Scale shape: the only full-corpus work is the tokenize + doc-length
-    rollup (map-side combinable). The scoring join carries (doc_id, term,
-    tf) for query terms only — bounded by |query| x |matching docs| — and
-    the df table (|query| rows) and corpus stats (1 row) broadcast.
+    Scale shape: tf and doc length are PER-ROW array expressions (count
+    of query-term occurrences in the token array), so there is no
+    explode, no (doc_id) shuffle, and no doc-length join at all — the
+    corpus is scanned twice (1-row stats branch + scoring branch), both
+    map-side, versus 4 tokenize passes in the explode/groupBy form. The
+    scoring rows carry (doc_id, term, tf) for query terms only — bounded
+    by |query| × |matching docs| — and the df table (|query| rows) and
+    corpus stats (1 row) broadcast.
     """
     terms = ["join", "stream", "window"]
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
-    g = dl.agg(
+    tok = F.expr(_TOKENS)
+    per_doc = d.select(
+        "doc_id",
+        F.size(tok).alias("len"),
+        # NB: the HOF lambda must be unary — a second parameter (even a
+        # defaulted one) makes PySpark bind the (element, index) form.
+        *[
+            F.size(
+                F.filter(tok, (lambda term: lambda x: x == F.lit(term))(t))
+            ).alias(f"tf_{t}")
+            for t in terms
+        ],
+    )
+    g = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        # Per-term document frequencies ride the same 1-row aggregate, so
+        # no separate idf branch re-derives the per_doc subtree.
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"df_{t}")
+            for t in terms
+        ],
     )
-    tf = (
-        toks.filter(F.col("term").isin(*terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(g))
-    )
+    tf = per_doc.select(
+        "doc_id",
+        "len",
+        F.expr(
+            "stack({n}, {args}) AS (term, tf)".format(
+                n=len(terms),
+                args=", ".join(f"'{t}', tf_{t}" for t in terms),
+            )
+        ),
+    ).filter(F.col("tf") > 0)
+    df_col = F.lit(None).cast("bigint")
+    for t in terms:
+        df_col = F.when(F.col("term") == t, F.col(f"df_{t}")).otherwise(
+            df_col
+        )
+    scored = tf.crossJoin(F.broadcast(g)).withColumn("df", df_col)
     s = (
         F.log(
             (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
@@ -2189,18 +2215,23 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("t", F.col("i") + 2).alias("w2"),
         )
     )
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
-    lp = (
-        F.round(
-            F.log(F.col("n12").cast("double") / F.col("n1")), 12
-        ).cast("decimal(20,12)")
+    # n1 ≡ Σ_w2 n12: the unigram context count is a WINDOW over the
+    # bigram count table (|vocab|² grain) — not a third full
+    # bigram-extraction pass, and not even a second reference to the c12
+    # subtree (a groupBy+join-back would plan the count aggregation
+    # twice; the window keeps one c12 lineage, so the corpus is scanned
+    # exactly twice: the scoring rows and the count build).
+    lm = c12.withColumn(
+        "n1", F.sum("n12").over(Window.partitionBy("w1"))
+    ).select(
+        "w1",
+        "w2",
+        F.round(F.log(F.col("n12").cast("double") / F.col("n1")), 12)
+        .cast("decimal(20,12)")
+        .alias("lp"),
     )
-    scored = (
-        bg.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
-        .select("doc_id", lp.alias("lp"))
-    )
+    scored = bg.join(lm, ["w1", "w2"]).select("doc_id", "lp")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         q4(F.sum("lp").cast("double") / F.count(F.lit(1))).alias(
@@ -2530,18 +2561,18 @@ def llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pair_stats(df: DataFrame, method: str) -> DataFrame:
-        docs = df.select(F.col("doc_a").alias("d")).union(
-            df.select(F.col("doc_b").alias("d"))
-        )
-        return df.agg(
+        # ONE aggregate over the pair output: exploding (doc_a, doc_b)
+        # yields 2 rows per pair, so n_pairs = count/2 and the distinct
+        # doc count comes from the same pass. The earlier two-branch form
+        # (count agg × distinct-docs agg) put the METHOD'S WHOLE DEDUP
+        # SUBPLAN into the lineage twice — each underlying self-join ran
+        # twice per report row.
+        return df.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("d")
+        ).agg(
             F.lit(method).alias("method"),
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        ).crossJoin(
-            F.broadcast(
-                docs.agg(
-                    F.countDistinct("d").cast("bigint").alias("n_docs_flagged")
-                )
-            )
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+            F.countDistinct("d").cast("bigint").alias("n_docs_flagged"),
         )
 
     near = pair_stats(QUERIES["llm_dedup_near"](spark, sf_dir), "near")

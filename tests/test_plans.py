@@ -537,3 +537,35 @@ def test_pagerank_iterations_run_on_pinned_edges(audit):
         "the localCheckpoint pin is gone"
     )
     a.assert_no_cartesian()
+
+
+@pytest.mark.parametrize(
+    "key,table,cap",
+    [
+        # One sketch-build pass + 2 pushed-filter probe reads; the old
+        # form planned 4 union legs + 4 broadcast sketch copies.
+        ("agg_countmin", "events", 3),
+        # All column profiles in ONE multi-aggregate pass + stack();
+        # the old form planned one full aggregate per profiled column.
+        ("profile_table", "orders", 1),
+        # Per-row array tf + df folded into the 1-row stats aggregate;
+        # the old explode/groupBy form planned 4 tokenize passes.
+        ("llm_bm25_search", "documents", 2),
+        # n1 is a window over the bigram count table (one c12 lineage):
+        # exactly scoring-rows pass + count-build pass.
+        ("llm_bigram_lm_score", "documents", 2),
+        # Composes 3 dedup methods; pair_stats is single-branch so each
+        # method's self-join appears once per side.
+        ("llm_dedup_report", "documents", 7),
+    ],
+)
+def test_fact_scan_budget(audit, key, table, cap):
+    """Multi-pass regression pins (tools/plan_sweep.py found each of these
+    planning 4-19 fact scans): the initial plan must not re-derive the
+    fact subtree more often than the audited shape."""
+    a = audit(key)
+    n = a.text.count(f"{table}.parquet")
+    assert 0 < n <= cap, (
+        f"{key}: {n} {table} scans in the initial plan (cap {cap}) — "
+        "a branch is re-deriving the fact subtree; see tools/plan_sweep.py"
+    )
