@@ -72,6 +72,12 @@ HEADLINE = [
     "win_bollinger",
     "ts_cusum_changepoint",
     "win_max_concurrent",
+    # round-5 multi-pass-audit fixes (tools/plan_sweep.py): single-scan
+    # sketch build, single-pass profiling, explode-free BM25, window-form
+    # bigram LM
+    "agg_countmin",
+    "profile_table",
+    "llm_bigram_lm_score",
 ]
 
 
