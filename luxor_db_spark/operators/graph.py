@@ -85,12 +85,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: edge derivation is the 100 TB part — a fact-table join
     pipeline whose dimensions (customer/supplier nation keys) broadcast;
     the output collapses to ≤ |nations|² weighted edges, which are
-    localCheckpoint-pinned so the iterations' lineage starts at the tiny
-    edge table — without the pin, edges + outw re-appear as subtrees in
-    every unrolled iteration and the plan scans lineitem 6× (measured:
-    zero ReusedExchange across the branches). The iteration then runs on
-    that pinned grain (both sides of every iteration join are broadcast),
-    so 3 rounds add no full-data pass. For graphs whose EDGE set is
+    persist()-pinned so every iteration branch reads the cached edge
+    table — without the pin, edges + outw re-appear as subtrees in every
+    unrolled iteration and the plan scans lineitem 6× (measured: zero
+    ReusedExchange across the branches). persist, not localCheckpoint:
+    it stays lazy (plan-only consumers never trigger the fact join),
+    keeps lineage for fault tolerance, and Spark's CacheManager dedupes
+    identical analyzed plans so repeated invocations share one tiny
+    cache entry (the win_pareto pattern). The iteration then runs on the
+    cached grain (both sides of every iteration join are broadcast), so
+    3 rounds add ONE full-data pass total. For graphs whose EDGE set is
     itself huge, the same loop holds with shuffle joins partitioned by
     src — contributions stay (dst, decimal) pairs.
     """
@@ -108,7 +112,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             cust.c_nationkey.alias("src"), supp.s_nationkey.alias("dst")
         )
         .agg(F.count(F.lit(1)).alias("w"))
-    ).localCheckpoint(eager=True)
+    ).persist()
     nodes = nation.select(F.col("n_nationkey").alias("node"))
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
 

@@ -1664,7 +1664,10 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ["join", "stream", "window"]
     d = load_table(spark, sf_dir, "documents")
     tok = F.expr(_TOKENS)
-    per_doc = d.select(
+    # NULL text must stay excluded from n_docs/avgdl exactly as the
+    # explode form (and the oracle's unnest) excludes it — and
+    # F.size(NULL) is -1, which would otherwise corrupt sum(len).
+    per_doc = d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.size(tok).alias("len"),
         # NB: the HOF lambda must be unary — a second parameter (even a
@@ -1696,12 +1699,12 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).filter(F.col("tf") > 0)
-    df_col = F.lit(None).cast("bigint")
-    for t in terms:
-        df_col = F.when(F.col("term") == t, F.col(f"df_{t}")).otherwise(
-            df_col
-        )
-    scored = tf.crossJoin(F.broadcast(g)).withColumn("df", df_col)
+    df_map = F.create_map(
+        *[c for t in terms for c in (F.lit(t), F.col(f"df_{t}"))]
+    )
+    scored = tf.crossJoin(F.broadcast(g)).withColumn(
+        "df", df_map[F.col("term")]
+    )
     s = (
         F.log(
             (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
@@ -2571,7 +2574,9 @@ def llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array("doc_a", "doc_b")).alias("d")
         ).agg(
             F.lit(method).alias("method"),
-            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+            # integer `div`, not `/`: Divide is double-typed and loses
+            # exactness past 2^53 exploded rows.
+            F.expr("count(1) div 2").cast("bigint").alias("n_pairs"),
             F.countDistinct("d").cast("bigint").alias("n_docs_flagged"),
         )
 

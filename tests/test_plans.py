@@ -527,14 +527,21 @@ def test_incremental_scan_prunes_by_file(audit):
 
 def test_pagerank_iterations_run_on_pinned_edges(audit):
     """graph_pagerank: the unrolled iterations must NOT re-derive the
-    edge table — without the localCheckpoint pin, edges + outw re-appear
-    as subtrees in every iteration and the plan scans lineitem 6× (one
-    full-data pass per branch at 100 TB). Pinned, the final plan's
-    lineage starts at the ≤|nations|² edge table: zero fact scans."""
+    edge table — without the persist() pin, edges + outw re-appear as
+    raw-scan subtrees in every iteration and the plan scans lineitem 6×
+    (one full-data pass per branch at 100 TB). Pinned, every lineitem
+    mention in the plan sits inside an InMemoryTableScan's cached-
+    relation rendering — the cache is computed once, so execution makes
+    exactly one fact pass."""
     a = audit("graph_pagerank")
-    assert "lineitem" not in a.text.lower(), (
-        "pagerank iterations re-derive edges from the fact table; "
-        "the localCheckpoint pin is gone"
+    n_scans = a.text.lower().count("lineitem")
+    n_cached = a.text.count("InMemoryTableScan") + a.text.count(
+        "InMemoryRelation"
+    )
+    assert n_cached >= 1 and n_scans <= n_cached, (
+        f"pagerank plans {n_scans} lineitem mentions vs {n_cached} cache "
+        "references — an iteration branch re-derives edges from the raw "
+        "fact table; the persist() pin is gone"
     )
     a.assert_no_cartesian()
 

@@ -116,7 +116,8 @@ def main(argv: list[str]) -> int:
             }
         )
     )
-    return 1 if flagged else 0
+    # Errors fail the sweep too: an un-audited key is not a passing key.
+    return 1 if flagged or any("error" in r for r in report) else 0
 
 
 if __name__ == "__main__":
