@@ -2385,9 +2385,10 @@ def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE term IN ('join', 'stream', 'window') GROUP BY doc_id
     ),
     kwr AS (
-      SELECT doc_id,
-             ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS rk_kw
-      FROM kw
+      SELECT doc_id, rk_kw FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS rk_kw
+        FROM kw) WHERE rk_kw <= 1000
     ),
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     sem AS (
@@ -2398,9 +2399,10 @@ def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings e, q WHERE e.vec_id <> 0
     ),
     semr AS (
-      SELECT doc_id,
-             ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rk_sem
-      FROM sem
+      SELECT doc_id, rk_sem FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rk_sem
+        FROM sem) WHERE rk_sem <= 1000
     ),
     fused AS (
       SELECT kwr.doc_id, rk_kw, rk_sem,
@@ -2426,11 +2428,16 @@ def llm_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-rounded cosine), so the fused score is one fixed double expression
     of integers — identical everywhere. Top-20 cut by (rrf, doc_id).
 
-    Scale shape: the keyword side is bounded by query-term postings; the
-    semantic side broadcasts the single query vector; ranking windows are
-    global but run over the (small) candidate lists, not the corpus —
-    exactly the retrieval-tail shape, with the corpus-sized work all in
-    the bounded tf aggregation.
+    Scale shape: each list is cut to a candidate depth of 1000 BEFORE
+    ranking — `orderBy().limit()` compiles to a distributed
+    TakeOrderedAndProject (per-partition top-k, merge of P×k rows), and
+    the rank window then runs over ≤1000 rows, never the corpus. Without
+    the depth cut the semantic rank was an un-partitioned window over
+    every embedding — the single-partition global sort this repo bans.
+    Depth-cut RRF is also the real-world semantics: production hybrid
+    search fuses retrieval RESULT lists, not corpus-wide rankings. The
+    corpus-sized work is the map-side tf aggregation and the broadcast-
+    query cosine scan.
     """
     d = load_table(spark, sf_dir, "documents")
     kw = (
@@ -2441,7 +2448,8 @@ def llm_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    kwr = kw.select(
+    kw_top = kw.orderBy(F.col("tf").desc(), "doc_id").limit(1000)
+    kwr = kw_top.select(
         "doc_id",
         F.row_number()
         .over(Window.orderBy(F.col("tf").desc(), "doc_id"))
@@ -2461,7 +2469,8 @@ def llm_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    semr = sem.select(
+    sem_top = sem.orderBy(F.col("sim").desc(), "doc_id").limit(1000)
+    semr = sem_top.select(
         "doc_id",
         F.row_number()
         .over(Window.orderBy(F.col("sim").desc(), "doc_id"))

@@ -576,3 +576,15 @@ def test_fact_scan_budget(audit, key, table, cap):
         f"{key}: {n} {table} scans in the initial plan (cap {cap}) — "
         "a branch is re-deriving the fact subtree; see tools/plan_sweep.py"
     )
+
+
+def test_rrf_ranks_candidate_lists_not_corpus(audit):
+    """llm_rrf_hybrid: each retrieval list is depth-cut to 1000 via a
+    distributed TakeOrderedAndProject BEFORE its rank window — without
+    the cut, the semantic rank was an un-partitioned window over every
+    embedding (single-partition global sort)."""
+    a = audit("llm_rrf_hybrid")
+    assert a.has_take_ordered, (
+        "rrf lost its candidate-depth cut: rank windows are running "
+        "over the full corpus again"
+    )
