@@ -357,3 +357,71 @@ def test_windowed_topk_bounded_state_form_matches_aggregate_form(spark, sf_dir):
     agg_form = canon(stream_windowed_topk(spark, sf_dir))
     bounded = canon(stream_windowed_topk(spark, sf_dir, bounded_state=True))
     assert agg_form == bounded and len(agg_form) > 0
+
+
+def test_bm25_null_text_excluded_from_corpus_stats(spark, sf_dir, tmp_path):
+    """Cross-engine contract guard for the round-5 BM25 rewrite: a NULL
+    `text` row must not count into n_docs/avgdl. The per-row array form
+    is dangerous here — F.size(split(NULL)) is -1 and silently corrupts
+    sum(len), while the oracle's unnest-based form simply drops the doc.
+    Build a tiny fixture WITH a NULL text and assert full parity."""
+    import shutil
+    from pathlib import Path
+
+    import duckdb
+
+    from luxor_db_spark.catalog import TABLES, table_path
+    from luxor_db_spark.registry import ORACLES, QUERIES, load_all_queries
+    from tests.conftest import assert_parity
+
+    load_all_queries()
+
+    fx = tmp_path / "fixture"
+    fx.mkdir()
+    for t in TABLES:
+        src = Path(table_path(sf_dir, t))
+        if src.is_dir():
+            shutil.copytree(src, fx / src.name)
+        else:
+            shutil.copy(src, fx / src.name)
+    docs = spark.read.parquet(str(fx / "documents.parquet"))
+    # Highest doc_id + 1 with NULL text, plus one empty-string doc (split
+    # of '' is [''] — a 1-token doc in BOTH engines, also asserted).
+    from pyspark.sql import functions as F
+
+    extra = docs.limit(2).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(None)).otherwise(F.lit(""))
+        .alias("text"),
+        *[
+            F.col(c)
+            for c in docs.columns
+            if c not in ("doc_id", "text")
+        ],
+    )
+    aug = docs.unionByName(extra.select(docs.columns)).toPandas()
+    tgt = fx / "documents.parquet"
+    if tgt.is_dir():
+        shutil.rmtree(tgt)
+    else:
+        tgt.unlink()
+    # Single-file parquet so DuckDB's read_parquet sees the same path
+    # shape as the real fixtures.
+    aug.to_parquet(str(tgt), index=False)
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(str(fx), t)}')"
+        )
+    try:
+        assert_parity(
+            QUERIES["llm_bm25_search"](spark, str(fx)),
+            con,
+            ORACLES["llm_bm25_search"],
+            key="llm_bm25_search[null-text]",
+        )
+    finally:
+        con.close()
