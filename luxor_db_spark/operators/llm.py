@@ -32,10 +32,17 @@ from luxor_db_spark.registry import query
 
 # --- shared expression builders -------------------------------------------
 
-_NORM = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
-_NORM_DUCK = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-_TOKENS = "split(text, ' ')"
-_TOKENS_DUCK = "string_split(text, ' ')"
+# Engine contract: NULL text IS an empty document. Spark and DuckDB
+# disagree on NULL propagation through string/array kernels in ways that
+# are invisible on NULL-free fixtures (Spark's size(split(NULL)) is -1,
+# concat(NULL) is NULL, md5(NULL) is NULL; DuckDB nulls some and not
+# others) — coalescing at the tokenizer/normalizer boundary pins ONE
+# semantic in both engines (guarded by the NULL-augmented-fixture sweep
+# in tests/test_edge_cases.py).
+_NORM = "lower(trim(regexp_replace(coalesce(text, ''), '\\\\s+', ' ')))"
+_NORM_DUCK = "lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))"
+_TOKENS = "split(coalesce(text, ''), ' ')"
+_TOKENS_DUCK = "string_split(coalesce(text, ''), ' ')"
 
 # 3-word shingles (w-shingling): [] when the doc has <3 tokens.
 _SHINGLES = """
@@ -508,7 +515,7 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_tfidf_topterms",
     oracle="""
     WITH tok AS (
-      SELECT source, doc_id, unnest(string_split(text, ' ')) AS word
+      SELECT source, doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
       FROM documents
     ),
     tf AS (SELECT source, word, COUNT(*) AS tf FROM tok GROUP BY source, word),
@@ -767,7 +774,7 @@ _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     oracle=f"""
     SELECT doc_id,
            CAST(len({_TOKENS_DUCK}) AS INT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT) AS bpe_tokens,
+           CAST(len(regexp_extract_all(coalesce(text, ''), '{_BPE_RE}')) AS INT) AS bpe_tokens,
            CAST(CEIL(CAST(n_chars AS DOUBLE) / 4) AS INT) AS est_subwords
     FROM documents
     """,
@@ -782,7 +789,7 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(F.expr(_TOKENS)).cast("int").alias("ws_tokens"),
-        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)"))
+        F.size(F.expr(f"regexp_extract_all(coalesce(text, ''), '{_BPE_RE}', 0)"))
         .cast("int")
         .alias("bpe_tokens"),
         F.ceil(F.col("n_chars").cast("double") / 4).cast("int").alias(
@@ -1200,11 +1207,11 @@ _PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
     SELECT doc_id,
            regexp_replace(
              regexp_replace(
-               regexp_replace(text, '{_PII_SSN}', '[SSN]', 'g'),
+               regexp_replace(coalesce(text, ''), '{_PII_SSN}', '[SSN]', 'g'),
                '{_PII_PHONE}', '[PHONE]', 'g'),
              '{_PII_EMAIL}', '[EMAIL]', 'g') AS scrubbed,
-           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phones
+           CAST(len(regexp_extract_all(coalesce(text, ''), '{_PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(coalesce(text, ''), '{_PII_PHONE}')) AS INT) AS n_phones
     FROM documents
     """,
 )
@@ -1221,7 +1228,7 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     scrubbed = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace("text", _PII_SSN, "[SSN]"),
+            F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), _PII_SSN, "[SSN]"),
             _PII_PHONE,
             "[PHONE]",
         ),
@@ -1231,10 +1238,10 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         scrubbed.alias("scrubbed"),
-        F.size(F.expr(f"regexp_extract_all(text, '{_PII_EMAIL}', 0)"))
+        F.size(F.expr(f"regexp_extract_all(coalesce(text, ''), '{_PII_EMAIL}', 0)"))
         .cast("int")
         .alias("n_emails"),
-        F.size(F.expr(f"regexp_extract_all(text, '{_PII_PHONE}', 0)"))
+        F.size(F.expr(f"regexp_extract_all(coalesce(text, ''), '{_PII_PHONE}', 0)"))
         .cast("int")
         .alias("n_phones"),
     )
@@ -1664,10 +1671,10 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ["join", "stream", "window"]
     d = load_table(spark, sf_dir, "documents")
     tok = F.expr(_TOKENS)
-    # NULL text must stay excluded from n_docs/avgdl exactly as the
-    # explode form (and the oracle's unnest) excludes it — and
-    # F.size(NULL) is -1, which would otherwise corrupt sum(len).
-    per_doc = d.filter(F.col("text").isNotNull()).select(
+    # NULL text ≡ empty document (the _TOKENS coalesce contract): it
+    # tokenizes to [''] in BOTH engines, so it counts into n_docs/avgdl
+    # as a 1-token doc — no NULL filter, no size(NULL) = -1 hazard.
+    per_doc = d.select(
         "doc_id",
         F.size(tok).alias("len"),
         # NB: the HOF lambda must be unary — a second parameter (even a
@@ -1735,8 +1742,8 @@ _CHUNK_S = 48  # stride (overlap = _CHUNK_W - _CHUNK_S = 16 tokens)
     "llm_chunk_overlap",
     oracle=f"""
     WITH d AS (
-      SELECT doc_id, string_split(text, ' ') AS tok,
-             len(string_split(text, ' ')) AS n
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tok,
+             len(string_split(coalesce(text, ''), ' ')) AS n
       FROM documents
     )
     SELECT doc_id,
@@ -1765,8 +1772,8 @@ def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.split("text", " ").alias("tok"),
-        F.size(F.split("text", " ")).alias("n"),
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("tok"),
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("n"),
     )
     ch = d.select(
         "doc_id",
@@ -1934,7 +1941,7 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, lang,
              array_to_string(
-               list_slice(string_split(text, ' '), 1, 40), ' ') AS excerpt
+               list_slice(string_split(coalesce(text, ''), ' '), 1, 40), ' ') AS excerpt
       FROM documents
     )
     SELECT doc_id,
@@ -1960,7 +1967,7 @@ def llm_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds O(1) bytes per row.
     """
     d = load_table(spark, sf_dir, "documents")
-    excerpt = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 40))
+    excerpt = F.concat_ws(" ", F.slice(F.split(F.coalesce(F.col("text"), F.lit("")), " "), 1, 40))
     prompt = F.concat(
         F.lit("### Instruction:\nSummarize the following "),
         F.col("lang"),
@@ -1979,7 +1986,7 @@ def llm_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_span_extract",
     oracle="""
     WITH m AS (
-      SELECT doc_id, unnest(regexp_extract_all(text, 's[a-z]{3,}')) AS span
+      SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), 's[a-z]{3,}')) AS span
       FROM documents
     )
     SELECT doc_id, span, CAST(COUNT(*) AS BIGINT) AS n_hits
@@ -2048,7 +2055,7 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (block, doc_id, 100-char prefix).
     """
     d = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    norm = F.lower(F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " ")))
     b = d.select(
         "doc_id",
         norm.alias("norm"),
@@ -2081,7 +2088,7 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT doc_id, lang, source,
-             len(list_distinct(string_split(text, ' '))) * 1000
+             len(list_distinct(string_split(coalesce(text, ''), ' '))) * 1000
                + n_chars AS score
       FROM documents
     ),
@@ -2117,7 +2124,7 @@ def llm_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     score = (
-        F.size(F.array_distinct(F.split("text", " "))) * 1000
+        F.size(F.array_distinct(F.split(F.coalesce(F.col("text"), F.lit("")), " "))) * 1000
         + F.col("n_chars")
     ).alias("score")
     s = d.select("doc_id", "lang", "source", score)
@@ -2162,7 +2169,7 @@ def llm_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_bigram_lm_score",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
     ),
     bg AS (
       SELECT doc_id, t[i] AS w1, t[i+1] AS w2
@@ -2203,7 +2210,7 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     model size; exact MLE here keeps the oracle precise.
     """
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("t")
+        "doc_id", F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("t")
     )
     bg = (
         d.filter(F.size("t") >= 2)
@@ -2378,7 +2385,7 @@ def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_rrf_hybrid",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS term FROM documents
     ),
     kw AS (
       SELECT doc_id, COUNT(*) AS tf FROM toks
@@ -2442,7 +2449,7 @@ def llm_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     kw = (
         d.select(
-            "doc_id", F.explode(F.split("text", " ")).alias("term")
+            "doc_id", F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("term")
         )
         .filter(F.col("term").isin("join", "stream", "window"))
         .groupBy("doc_id")
@@ -2665,7 +2672,7 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_repetition_filter",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
     ),
     bg AS (
       SELECT doc_id, t[i] || ' ' || t[i+1] AS b
@@ -2709,7 +2716,7 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     `llm_bigram_lm_score`, sharable in one pass in a fused pipeline.
     """
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("t")
+        "doc_id", F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("t")
     )
     bg = (
         d.filter(F.size("t") >= 2)
@@ -2813,7 +2820,7 @@ def llm_near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s AS (
       SELECT doc_id, n_chars,
-             len(string_split(text, ' ')) AS n_tokens,
+             len(string_split(coalesce(text, ''), ' ')) AS n_tokens,
              {_HEXD_SQL.format(x="CAST(doc_id AS VARCHAR)", i=1)} AS shard,
              CAST(('0x' || substr(md5({_NORM_DUCK}), 1, 12)) AS BIGINT)
                AS content_h
@@ -2850,7 +2857,7 @@ def llm_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     s = d.select(
         _hexdigit(key, 1).alias("shard"),
-        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("n_tokens"),
         "n_chars",
         content_h.alias("content_h"),
     )

@@ -4,6 +4,7 @@ empty inputs, all-null groups, single-row windows, as-of misses.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
@@ -359,15 +360,57 @@ def test_windowed_topk_bounded_state_form_matches_aggregate_form(spark, sf_dir):
     assert agg_form == bounded and len(agg_form) > 0
 
 
-def test_bm25_null_text_excluded_from_corpus_stats(spark, sf_dir, tmp_path):
-    """Cross-engine contract guard for the round-5 BM25 rewrite: a NULL
-    `text` row must not count into n_docs/avgdl. The per-row array form
-    is dangerous here — F.size(split(NULL)) is -1 and silently corrupts
-    sum(len), while the oracle's unnest-based form simply drops the doc.
-    Build a tiny fixture WITH a NULL text and assert full parity."""
+NULL_TEXT_DOC_KEYS = None  # computed lazily below
+
+
+def _documents_oracle_keys():
+    from luxor_db_spark.registry import ORACLES, load_all_queries
+
+    load_all_queries()
+    return sorted(k for k, sql in ORACLES.items() if "documents" in sql)
+
+
+@pytest.fixture(scope="module")
+def null_fx_dir(spark, sf_dir, tmp_path_factory):
+    """Copy of the fixture dir whose documents table gains one NULL-text
+    and one empty-string row — the corpus states a real 100 TB crawl
+    always contains and the NULL-free fixtures never exercise."""
     import shutil
     from pathlib import Path
 
+    import pandas as pd
+
+    from luxor_db_spark.catalog import TABLES, table_path
+
+    fx = tmp_path_factory.mktemp("nullfx")
+    for t in TABLES:
+        src = Path(table_path(sf_dir, t))
+        if src.is_dir():
+            shutil.copytree(src, fx / src.name)
+        else:
+            shutil.copy(src, fx / src.name)
+    d = pd.read_parquet(fx / "documents.parquet")
+    extra = d.head(2).copy()
+    extra["doc_id"] = [d.doc_id.max() + 1, d.doc_id.max() + 2]
+    extra["text"] = [None, ""]
+    tgt = fx / "documents.parquet"
+    if tgt.is_dir():
+        shutil.rmtree(tgt)
+    pd.concat([d, extra]).to_parquet(tgt, index=False)
+    return str(fx)
+
+
+@pytest.mark.parametrize("key", _documents_oracle_keys())
+def test_null_text_parity(key, spark, null_fx_dir):
+    """Engine contract: NULL text IS an empty document (the coalesce at
+    the _TOKENS/_NORM boundary, llm.py). Spark and DuckDB disagree on
+    NULL propagation through string/array kernels (size(split(NULL)) is
+    -1 in Spark; DuckDB nulls some kernels and not others), so every
+    documents-reading oracle key must hold full parity on a fixture
+    that actually contains a NULL and an empty text — the divergence
+    class is invisible on the NULL-free fixtures (8 keys failed this
+    sweep when it was first run; mutation-checked: removing the
+    coalesce from _TOKENS fails it again)."""
     import duckdb
 
     from luxor_db_spark.catalog import TABLES, table_path
@@ -375,53 +418,19 @@ def test_bm25_null_text_excluded_from_corpus_stats(spark, sf_dir, tmp_path):
     from tests.conftest import assert_parity
 
     load_all_queries()
-
-    fx = tmp_path / "fixture"
-    fx.mkdir()
-    for t in TABLES:
-        src = Path(table_path(sf_dir, t))
-        if src.is_dir():
-            shutil.copytree(src, fx / src.name)
-        else:
-            shutil.copy(src, fx / src.name)
-    docs = spark.read.parquet(str(fx / "documents.parquet"))
-    # Highest doc_id + 1 with NULL text, plus one empty-string doc (split
-    # of '' is [''] — a 1-token doc in BOTH engines, also asserted).
-    from pyspark.sql import functions as F
-
-    extra = docs.limit(2).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit(None)).otherwise(F.lit(""))
-        .alias("text"),
-        *[
-            F.col(c)
-            for c in docs.columns
-            if c not in ("doc_id", "text")
-        ],
-    )
-    aug = docs.unionByName(extra.select(docs.columns)).toPandas()
-    tgt = fx / "documents.parquet"
-    if tgt.is_dir():
-        shutil.rmtree(tgt)
-    else:
-        tgt.unlink()
-    # Single-file parquet so DuckDB's read_parquet sees the same path
-    # shape as the real fixtures.
-    aug.to_parquet(str(tgt), index=False)
-
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{table_path(str(fx), t)}')"
+            f"read_parquet('{table_path(null_fx_dir, t)}')"
         )
     try:
         assert_parity(
-            QUERIES["llm_bm25_search"](spark, str(fx)),
+            QUERIES[key](spark, null_fx_dir),
             con,
-            ORACLES["llm_bm25_search"],
-            key="llm_bm25_search[null-text]",
+            ORACLES[key],
+            key=f"{key}[null-text]",
         )
     finally:
         con.close()
