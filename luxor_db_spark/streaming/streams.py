@@ -254,7 +254,14 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(j, "stream_stream_join", "append")
 
 
-_STATE_SCHEMA = T.StructType([T.StructField("cents", T.LongType())])
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cents", T.LongType()),
+        # count of non-NULL values seen: SQL's running SUM is NULL until
+        # the first non-NULL, and a pure cents carry cannot express that.
+        T.StructField("nseen", T.LongType()),
+    ]
+)
 _STATEFUL_OUT = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -266,22 +273,29 @@ _STATEFUL_OUT = T.StructType(
 
 def _running_sum_fn(key, pdf_iter, state):
     """Per-user running total, exact in integer cents (see functions/exact:
-    float accumulation would drift; int cents are engine-portable)."""
+    float accumulation would drift; int cents are engine-portable).
+
+    NULL-safe to match SQL window SUM semantics: a NULL value contributes
+    nothing but still emits a row, and the total is NULL until the user's
+    first non-NULL value (a raw astype('int64') on a NULL batch would
+    throw — the crash the NULL-value fixture sweep caught)."""
     import pandas as pd
 
-    carry = state.get[0] if state.exists else 0
+    carry, nseen = (state.get[0], state.get[1]) if state.exists else (0, 0)
     for pdf in pdf_iter:
         pdf = pdf.sort_values(["ts", "event_id"])
-        cents = (pdf["value"] * 100).round().astype("int64").cumsum() + carry
-        carry = int(cents.iloc[-1])
+        vals = (pdf["value"] * 100).round()  # NaN for NULL
+        cents = vals.fillna(0).astype("int64").cumsum() + carry
+        seen = vals.notna().astype("int64").cumsum() + nseen
+        carry, nseen = int(cents.iloc[-1]), int(seen.iloc[-1])
         yield pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "user_id": pdf["user_id"],
-                "running_total": cents / 100.0,
+                "running_total": (cents / 100.0).where(seen > 0),
             }
         )
-    state.update((carry,))
+    state.update((carry, nseen))
 
 
 @query(
@@ -473,6 +487,7 @@ def _topk_state_fn(key, pdf_iter, state):
                PARTITION BY date_trunc('hour', ts), event_type
                ORDER BY value DESC) AS rk
       FROM events
+      WHERE value IS NOT NULL
     )
     SELECT window_start, event_type, CAST(rk AS INT) AS rk, value
     FROM r WHERE rk <= 3
@@ -504,7 +519,10 @@ def stream_windowed_topk(
 
     Oracle-deterministic because ranks beyond tie boundaries emit
     identical VALUES regardless of which tied row wins a slot. Both forms
-    shuffle once on the (window, type) group key.
+    shuffle once on the (window, type) group key. NULL values rank in
+    neither engine (the oracle filters them; collect_list skips them):
+    top-k of VALUES — NULL is not a value, and the engines disagree on
+    NULL sort order anyway.
     """
     ev = stream_events(spark, sf_dir)
     if bounded_state:

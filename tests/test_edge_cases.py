@@ -363,11 +363,16 @@ def test_windowed_topk_bounded_state_form_matches_aggregate_form(spark, sf_dir):
 NULL_TEXT_DOC_KEYS = None  # computed lazily below
 
 
-def _documents_oracle_keys():
+def _null_sensitive_oracle_keys():
+    """Keys reading the tables the NULL-augmented fixture perturbs."""
     from luxor_db_spark.registry import ORACLES, load_all_queries
 
     load_all_queries()
-    return sorted(k for k, sql in ORACLES.items() if "documents" in sql)
+    return sorted(
+        k
+        for k, sql in ORACLES.items()
+        if "documents" in sql or "events" in sql
+    )
 
 
 @pytest.fixture(scope="module")
@@ -397,20 +402,31 @@ def null_fx_dir(spark, sf_dir, tmp_path_factory):
     if tgt.is_dir():
         shutil.rmtree(tgt)
     pd.concat([d, extra]).to_parquet(tgt, index=False)
+    # events: NULL `value` rows (found a stateful-runner crash and a
+    # top-k rank divergence when first swept).
+    e = pd.read_parquet(fx / "events.parquet")
+    ex = e.head(3).copy()
+    ex["event_id"] = [e.event_id.max() + i + 1 for i in range(3)]
+    ex["value"] = None
+    tgt = fx / "events.parquet"
+    if tgt.is_dir():
+        shutil.rmtree(tgt)
+    pd.concat([e, ex]).to_parquet(tgt, index=False)
     return str(fx)
 
 
-@pytest.mark.parametrize("key", _documents_oracle_keys())
-def test_null_text_parity(key, spark, null_fx_dir):
-    """Engine contract: NULL text IS an empty document (the coalesce at
-    the _TOKENS/_NORM boundary, llm.py). Spark and DuckDB disagree on
-    NULL propagation through string/array kernels (size(split(NULL)) is
-    -1 in Spark; DuckDB nulls some kernels and not others), so every
-    documents-reading oracle key must hold full parity on a fixture
-    that actually contains a NULL and an empty text — the divergence
-    class is invisible on the NULL-free fixtures (8 keys failed this
-    sweep when it was first run; mutation-checked: removing the
-    coalesce from _TOKENS fails it again)."""
+@pytest.mark.parametrize("key", _null_sensitive_oracle_keys())
+def test_null_parity(key, spark, null_fx_dir):
+    """Engine contract under NULLs, which the shipped fixtures never
+    contain: NULL text IS an empty document (coalesce at the
+    _TOKENS/_NORM boundary — Spark's size(split(NULL)) is -1, and the
+    engines null different kernel subsets; 8 keys diverged on first
+    sweep), and NULL event values contribute to no aggregate/rank
+    (SQL SUM/collect_list semantics — the stateful runner crashed on
+    astype('int64') of NaN and top-k ranked NULLs on first sweep).
+    Every documents- or events-reading oracle key must hold full parity
+    on the augmented fixture. Mutation-checked: removing the _TOKENS
+    coalesce fails 6 keys."""
     import duckdb
 
     from luxor_db_spark.catalog import TABLES, table_path
@@ -430,7 +446,7 @@ def test_null_text_parity(key, spark, null_fx_dir):
             QUERIES[key](spark, null_fx_dir),
             con,
             ORACLES[key],
-            key=f"{key}[null-text]",
+            key=f"{key}[null-augmented]",
         )
     finally:
         con.close()
