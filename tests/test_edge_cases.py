@@ -408,10 +408,23 @@ def null_fx_dir(spark, sf_dir, tmp_path_factory):
     ex = e.head(3).copy()
     ex["event_id"] = [e.event_id.max() + i + 1 for i in range(3)]
     ex["value"] = None
+    # NULL props / event_type / user_id are cross-engine consistent
+    # (NULL groups, dropped join keys) — pin that too. NULL `ts` is OUT
+    # of contract: engines disagree on NULL sort order in time windows
+    # and Spark streaming drops NULL event times by construction; event
+    # time is required non-NULL upstream.
+    more = []
+    for i, col in enumerate(("props", "event_type", "user_id")):
+        r = e.head(1).copy()
+        r["event_id"] = e.event_id.max() + 10 + i
+        r[col] = None
+        more.append(r)
+    aug = pd.concat([e, ex] + more)
+    aug["user_id"] = aug["user_id"].astype("Int64")
     tgt = fx / "events.parquet"
     if tgt.is_dir():
         shutil.rmtree(tgt)
-    pd.concat([e, ex]).to_parquet(tgt, index=False)
+    aug.to_parquet(tgt, index=False)
     return str(fx)
 
 
