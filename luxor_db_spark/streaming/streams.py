@@ -173,11 +173,28 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_watermark")  # rows-only: watermark retention is engine-specific
+@query(
+    "stream_watermark",
+    oracle="""
+    WITH m AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS wm FROM events),
+    agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT window_start, CAST(n AS BIGINT) AS n
+    FROM agg, m WHERE window_start + INTERVAL 1 HOUR <= m.wm
+    """,
+)
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling windows, append mode: only windows sealed by the
     watermark (max event time − 30 min) are emitted; the stream's trailing
-    windows stay in state — the late-data-drop contract."""
+    windows stay in state — the late-data-drop contract.
+
+    Oracle-checkable (upgraded from rows-only): with the single-file
+    fixture source the drain is one data batch + one flush batch, so the
+    emitted set is exactly the windows whose END ≤ max(ts) − 30 min —
+    the deterministic batch expression of the append contract."""
     ev = stream_events(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "30 minutes")
@@ -220,11 +237,26 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(j, "stream_static_join", "append")
 
 
-@query("stream_stream_join")  # rows-only: time-bound join emission timing
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id AS p_user, p.ts AS p_ts, v.ts AS v_ts
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+)
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–stream join: purchases with a view by the same user in the
     preceding hour. Both sides watermarked; the range condition bounds the
-    buffered state on each side."""
+    buffered state on each side.
+
+    Oracle-checkable (upgraded from rows-only): INNER stream-stream joins
+    emit a match as soon as both rows arrive — watermarks only bound the
+    buffered state, never hold back inner results — so the full drain
+    equals the batch interval join."""
     views = (
         stream_events(spark, sf_dir)
         .filter(F.col("event_type") == "view")
