@@ -715,7 +715,7 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x")
     )
     r = per_cust.join(
-        F.broadcast(cust), per_cust.cust == cust.c_custkey
+        cust, per_cust.cust == cust.c_custkey
     ).select(F.col("c_nationkey").alias("nation"), "cust", "x")
     w = Window.partitionBy("nation").orderBy("x", "cust")
     rk = r.select("nation", "x", F.row_number().over(w).alias("i"))

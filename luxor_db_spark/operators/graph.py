@@ -83,8 +83,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically on both sides.
 
     Scale shape: edge derivation is the 100 TB part — a fact-table join
-    pipeline whose dimensions (customer/supplier nation keys) broadcast;
-    the output collapses to ≤ |nations|² weighted edges, which are
+    pipeline whose customer/supplier sides are deliberately UN-hinted:
+    they are SF-scaled (a forced broadcast would OOM at 100 TB, where
+    the size threshold the hint overrides exists precisely to catch
+    this), so AQE broadcasts them while they fit and degrades to a
+    shuffle join when they don't. The output collapses to ≤ |nations|² weighted edges, which are
     persist()-pinned so every iteration branch reads the cached edge
     table — without the pin, edges + outw re-appear as subtrees in every
     unrolled iteration and the plan scans lineitem 6× (measured: zero
@@ -106,8 +109,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy(
             cust.c_nationkey.alias("src"), supp.s_nationkey.alias("dst")
         )

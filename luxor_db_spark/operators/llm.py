@@ -547,7 +547,7 @@ def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()  # scalar; one tiny job, not per-row
-    scored = tf.join(broadcast(df), "word").withColumn(
+    scored = tf.join(df, "word").withColumn(
         "raw_score",
         F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
     )

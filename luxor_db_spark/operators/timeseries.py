@@ -1361,7 +1361,7 @@ def ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 604800
     ).cast("bigint")
     rev = (
-        purchases.join(F.broadcast(firstw), "user_id")
+        purchases.join(firstw, "user_id")
         .groupBy("cohort_week", off.alias("week_offset"))
         .agg(F.sum(F.col("value").cast(DEC)).alias("wk_rev"))
     )

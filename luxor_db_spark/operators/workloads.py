@@ -282,7 +282,7 @@ def query_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t.part.filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
     c = (
         p.join(supply, p.p_partkey == F.col("pk"))
-        .join(F.broadcast(eu), F.col("sk") == F.col("s_suppkey"))
+        .join(eu, F.col("sk") == F.col("s_suppkey"))
         .withColumn(
             "min_cost", F.min("cost").over(Window.partitionBy("p_partkey"))
         )
@@ -428,7 +428,7 @@ def query_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.region), F.col("cn_reg") == F.col("r_regionkey"))
         .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(F.col("r_name") == "AMERICA")
     )
     rev = F.expr(_REV)
@@ -473,7 +473,7 @@ def query_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = F.expr(_REV) - F.col("p_retailprice") * F.col("l_quantity") * 0.1
     return (
         t.lineitem.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -692,11 +692,11 @@ def query_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded = t.supplier.filter(F.col("s_name").like("%7%")).select("s_suppkey")
     return (
         t.lineitem.join(
-            F.broadcast(excluded),
+            excluded,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -729,7 +729,7 @@ def query_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = t.part.filter(F.col("p_brand") == "Brand#2")
     return (
-        t.lineitem.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        t.lineitem.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(pq, F.col("agg_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"))
@@ -775,7 +775,7 @@ def query_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t.lineitem.join(
-            F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey")
+            t.part, F.col("p_partkey") == F.col("l_partkey")
         )
         .filter(br)
         .agg(dsum(F.expr(_REV)).alias("revenue"))
@@ -813,7 +813,7 @@ def query_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("l_suppkey").alias("sk"))
         .agg(dsum(F.col("l_quantity")).alias("total_qty"))
         .filter(F.col("total_qty") > 50)
