@@ -564,7 +564,13 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,2)")
         .alias("rev")
     )
-    npart = 32
+    # Track the session's shuffle sizing (cluster-tuned) instead of a
+    # constant: the two-level rewrite is correct for ANY partition count,
+    # and the offsets ledger stays O(npart).
+    try:
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        npart = 32
     part = r.repartitionByRange(
         npart, F.col("rev").desc(), F.col("o_custkey")
     ).withColumn("pid", F.spark_partition_id())
