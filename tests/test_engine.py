@@ -224,3 +224,55 @@ def test_no_rational_ratio_round_in_oracles():
         "rational-ratio ROUND in oracle SQL (cross-engine tie class — use "
         f"the FLOOR quantization form, see functions/exact.py): {offenders}"
     )
+
+
+def test_broadcast_hints_only_on_constant_grain_sides():
+    """Broadcast-hint doctrine (SURVEY §7.3, r5): a broadcast() hint
+    overrides autoBroadcastJoinThreshold — the guardrail that stops an
+    oversized build side — so every hint site must carry a side whose
+    size is CONSTANT in the scale factor. This ledger is the audited
+    whitelist; a new broadcast() call fails here until its side's grain
+    is reviewed and added (SF-scaled sides stay un-hinted for AQE)."""
+    import re
+    from pathlib import Path
+
+    allowed = {
+        "aggregates.py": {"sk", "total"},  # CMS sketch <=4x256; 1-row total
+        "bucketed.py": {"ledger", "tgt"},  # per-bucket count ledgers
+        "graph.py": {"contrib", "outw", "r"},  # <=|nations| iteration grain
+        "joins.py": {"b", "dim", "r", "t.nation", "t.region"},  # bounded dims/buckets
+        "llm.py": {
+            "bench",  # fixed 3-term query set
+            "centroids",  # k ANN centroids
+            "g",  # 1-row corpus stats
+            "nt", "tp",  # tiny aggregates (report grain)
+            "prof",  # language profiles (|langs| x top-words)
+            "q", "qs", "qv",  # bounded query sets / single query vector
+            "qc",  # probe-cell pairs (|queries| x 2)
+            "z",  # 1-row bounds
+        },
+        "scans.py": {"n_s"},  # per-status counts (|statuses|)
+        "timeseries.py": {
+            "base", "g", "mad", "med", "off", "prof", "stats", "tot",
+        },  # per-event-type stats (5 types), pid offsets (<=npart), 1-row
+        "workloads.py": {
+            "avg_bal", "mx", "total",  # 1-row aggregates
+            "cn", "sn", "n1", "n2", "n5",  # nation-grain (<=25)
+            "t.nation", "t.region",
+        },
+    }
+    root = Path(__file__).resolve().parent.parent / "luxor_db_spark"
+    violations = []
+    for p in root.rglob("*.py"):
+        for m in re.finditer(
+            r"(?<![\w.])(?:F\.)?broadcast\(([^),]+)", p.read_text()
+        ):
+            arg = m.group(1).strip()
+            if not arg or arg.startswith('"'):
+                continue
+            if arg not in allowed.get(p.name, set()):
+                violations.append(f"{p.name}: broadcast({arg})")
+    assert not violations, (
+        "unreviewed broadcast() hint(s) — verify the side is constant-grain "
+        f"and add to the ledger, or leave it to AQE: {violations}"
+    )
