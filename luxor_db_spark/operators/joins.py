@@ -415,7 +415,14 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_quantity", "l_returnflag"
         ).write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
-    fact = spark.read.parquet(out)
+    # Explicit schema: an empty source writes no part files and a
+    # schema-less read would fail UNABLE_TO_INFER_SCHEMA.
+    fact_schema = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .schema
+    )
+    fact = spark.read.schema(fact_schema).parquet(out)
     dim = spark.createDataFrame(
         [("R", "returned"), ("A", "ack"), ("N", "none")], ["flag", "label"]
     ).filter(F.col("label") == "returned")

@@ -811,6 +811,12 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "fvec", array_to_vector(F.col("embedding").cast("array<double>"))
     )
+    # Empty-corpus guard: KMeans.fit throws on zero rows; an empty input
+    # should yield an empty result set, not a JVM exception.
+    if e.isEmpty():
+        return spark.createDataFrame(
+            [], "q_id bigint, nb_id bigint, sim double"
+        )
     km = KMeans(k=16, seed=42, featuresCol="fvec", predictionCol="cell")
     model = km.fit(e)
     assigned = model.transform(e).select("vec_id", "label", "embedding", "cell")

@@ -110,7 +110,13 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _tmpdir("sink_partitioned")
     df.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     # Partition-pruned re-read: only the 'R' directory is listed/scanned.
-    return spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    # Schema passed explicitly: an empty source writes no part files and
+    # a schema-less read would fail UNABLE_TO_INFER_SCHEMA.
+    return (
+        spark.read.schema(df.schema)
+        .parquet(out)
+        .filter(F.col("l_returnflag") == "R")
+    )
 
 
 @query(
