@@ -463,3 +463,75 @@ def test_null_parity(key, spark, null_fx_dir):
         )
     finally:
         con.close()
+
+
+def _documents_or_all_oracle_keys():
+    from luxor_db_spark.registry import ORACLES, load_all_queries
+
+    load_all_queries()
+    return sorted(ORACLES)
+
+
+# Engine-kernel or fixture-assuming divergences on EMPTY input, each
+# documented in docs/SCALE.md (round-5 empty-input addendum):
+_EMPTY_INPUT_BOUNDARY = {
+    # Spark emits no grand-total row over empty input; DuckDB emits one
+    # (GROUPING SETS kernel difference).
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_cube",
+    # file-level audit keys whose oracles assert fixture-specific counts.
+    "scan_file_metadata",
+    "scan_incremental_files",
+    "fn_row_id",
+}
+
+
+@pytest.fixture(scope="module")
+def empty_fx_dir(tmp_path_factory, sf_dir):
+    """Schema-true 0-row copies of every fixture table."""
+    import pyarrow.parquet as pq
+
+    from luxor_db_spark.catalog import TABLES, table_path
+
+    fx = tmp_path_factory.mktemp("emptyfx")
+    for t in TABLES:
+        sch = pq.read_schema(table_path(sf_dir, t))
+        pq.write_table(sch.empty_table(), str(fx / f"{t}.parquet"))
+    return str(fx)
+
+
+@pytest.mark.parametrize(
+    "key",
+    sorted(k for k in _documents_or_all_oracle_keys() if k not in _EMPTY_INPUT_BOUNDARY),
+)
+def test_empty_input_parity(key, spark, empty_fx_dir):
+    """Empty-corpus contract: every oracle key must hold parity (usually
+    0 = 0 rows, or a single all-NULL global-aggregate row) over 0-row
+    tables with the real schemas — the sweep that caught schema-less
+    sink re-reads (UNABLE_TO_INFER_SCHEMA) and a KMeans.fit crash.
+    Six documented engine/fixture boundaries are excluded."""
+    import duckdb
+
+    from luxor_db_spark.catalog import TABLES, table_path
+    from luxor_db_spark.registry import ORACLES, QUERIES, load_all_queries
+    from tests.conftest import assert_parity
+
+    load_all_queries()
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(empty_fx_dir, t)}')"
+        )
+    try:
+        assert_parity(
+            QUERIES[key](spark, empty_fx_dir),
+            con,
+            ORACLES[key],
+            key=f"{key}[empty]",
+        )
+    finally:
+        con.close()
+
