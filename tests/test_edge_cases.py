@@ -398,6 +398,11 @@ def null_fx_dir(spark, sf_dir, tmp_path_factory):
     extra = d.head(2).copy()
     extra["doc_id"] = [d.doc_id.max() + 1, d.doc_id.max() + 2]
     extra["text"] = [None, ""]
+    # exact-duplicate crawl rows: doc 0's text under 3 fresh ids (the
+    # dedup family's tie-breaks must stay deterministic cross-engine).
+    dup = pd.concat([d.iloc[[0]]] * 3, ignore_index=True)
+    dup["doc_id"] = [d.doc_id.max() + 3 + i for i in range(3)]
+    extra = pd.concat([extra, dup], ignore_index=True)
     tgt = fx / "documents.parquet"
     if tgt.is_dir():
         shutil.rmtree(tgt)
@@ -418,6 +423,14 @@ def null_fx_dir(spark, sf_dir, tmp_path_factory):
         r = e.head(1).copy()
         r["event_id"] = e.event_id.max() + 10 + i
         r[col] = None
+        more.append(r)
+    # duplicate timestamps: 4 rows sharing one ts under fresh event_ids —
+    # every order-dependent window must tie-break on event_id, or its
+    # rank diverges cross-engine.
+    for i in range(4):
+        r = e.iloc[[i]].copy()
+        r["ts"] = e.iloc[0]["ts"]
+        r["event_id"] = e.event_id.max() + 20 + i
         more.append(r)
     aug = pd.concat([e, ex] + more)
     aug["user_id"] = aug["user_id"].astype("Int64")
