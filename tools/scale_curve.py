@@ -1,0 +1,299 @@
+#!/usr/bin/env python
+"""Empirical scaling curves: wall-time vs input size for the expensive keys.
+
+SCALE.md argues each operator family survives a 100× scale-up by plan
+shape (bounded blocks, banded LSH, bucketed windows, broadcast-bounded
+probes). This harness MEASURES it: it amplifies the sf0.1 fixtures by
+×1/×2/×4/×8 with disjoint key spaces, runs each selected key at every
+factor on the same session, and fits the log-log slope of median wall
+time vs factor. Slope ≈ 1 is linear scaling; a slope ≥ SLOPE_FLAG on a
+key whose ×8 time is big enough to matter (T_MIN) is flagged as a
+potential super-linear blowup — the exact class a 1000-executor/100 TB
+deployment cannot absorb.
+
+Amplification (drop-in `{dir}/{table}.parquet` layout, so every
+registered `queries()` callable runs unchanged):
+
+- dims (`region`, `nation`) are NOT replicated — facts grow, dims don't,
+  matching how a real warehouse scales (and keeping broadcast sides
+  constant-grain, per the SURVEY §7.3 hint doctrine).
+- star facts get copy-disjoint key spaces with CONSISTENT FK remapping
+  (`o_orderkey`/`l_orderkey` share one offset, `o_custkey`/`c_custkey`
+  another, …), so each copy is a self-contained sub-database: join
+  fan-outs stay realistic instead of exploding quadratically in copies.
+- `events`: `event_id`/`user_id` offset per copy, timestamps unchanged —
+  more traffic over the same period, which is what stresses the
+  (event_type, time-bucket) window rewrites.
+- `documents`: `doc_id` offset; for copy c>0 the word sequence is
+  ROTATED by 7c words. Rotation keeps length/vocabulary/word-frequency
+  identical and breaks EXACT duplication (rotated text ≠ original text,
+  so md5-exact dedup scales linearly, measured ×7.7 rows at ×8). It
+  deliberately does NOT break near-duplication: a rotation preserves
+  every consecutive 3-word shingle except the ~4 spanning the seam, so
+  each doc gains f−1 near-identical (Jaccard ≈ 1) variants and the TRUE
+  near-dup pair count grows quadratically in the factor (measured: 256
+  pairs at ×1 → 155,227 at ×8, ≈ 606×). That makes the amplified corpus
+  an ADVERSARIALLY dup-dense stress input for the dedup family — the
+  interesting question is whether wall time tracks the ~linear input
+  size or the ~quadratic output density. (Measured: llm_dedup_near
+  ×8.7 time at ×8 input — the df-cap inverted index holds; see
+  docs/SCALE.md "Round 5 addendum: measured scaling curves".) Caveat:
+  every shingle's document frequency also grows ×f, so more shingles
+  cross _DF_CAP=100 and are dropped as stop-shingles — recall of the
+  capped exact-Jaccard path degrades as the corpus grows, which is
+  inherent to df-cap designs and why `llm_minhash_lsh` (×1.7 at ×8) is
+  the declared scale path.
+- `embeddings`: `vec_id` offset, vectors unchanged (ANN/kNN cost is
+  value-independent; top-k outputs stay k-bounded).
+
+Usage:
+    python tools/scale_curve.py                   # default key set
+    python tools/scale_curve.py k1 k2 ...         # specific keys
+    python tools/scale_curve.py --factors 1,2,4   # fewer factors
+    python tools/scale_curve.py --rebuild         # force re-amplify
+
+Prints one JSON line per key and a final summary line. Amplified data
+lives under tmp/scale/x{f}/ (gitignored) and is reused across runs.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from luxor_db_spark.catalog import TABLES, load_table  # noqa: E402
+from luxor_db_spark.registry import load_all_queries  # noqa: E402
+from luxor_db_spark.session import get_spark  # noqa: E402
+
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tmp", "scale"
+)
+RUNS = int(os.environ.get("LUXOR_SCALE_RUNS", "3"))
+SLOPE_FLAG = 1.35  # log-log slope above this = super-linear suspect
+T_MIN = 1.5  # ... but only if the x-max time is big enough to trust
+
+# The expensive / scale-sensitive representatives: every key the r4
+# verdict or bench top-10 called out, plus one per family whose scale
+# story SCALE.md argues by shape (blocked dedup, banded LSH, bucketed
+# windows, salted skew join, iterative graph, sketch build).
+DEFAULT_KEYS = [
+    "flagship_q1",
+    "query_q18",
+    "query_q21",
+    "join_multiway",
+    "join_skew_salted",
+    "join_asof",
+    "agg_gini",
+    "agg_countmin",
+    "win_moving_median",
+    "win_bollinger",
+    "win_max_concurrent",
+    "win_pareto",
+    "ts_cusum_changepoint",
+    "ts_sessionize",
+    "graph_pagerank",
+    "llm_dedup_exact",
+    "llm_dedup_near",
+    "llm_minhash_lsh",
+    "llm_dedup_fuzzy",
+    "llm_knn_join",
+    "llm_cosine_topk",
+    "llm_tfidf_topterms",
+    "llm_bm25_search",
+    "llm_corpus_clean",
+]
+
+# Per-copy key offsets: column -> offset unit. One unit per ENTITY so FK
+# edges stay consistent across tables (copy c adds c*unit to both sides).
+_ENTITY_COLS = {
+    "suppkey": ["s_suppkey", "l_suppkey"],
+    "custkey": ["c_custkey", "o_custkey"],
+    "partkey": ["p_partkey", "l_partkey"],
+    "orderkey": ["o_orderkey", "l_orderkey"],
+    "event_id": ["event_id"],
+    "user_id": ["user_id"],
+    "doc_id": ["doc_id"],
+    "vec_id": ["vec_id"],
+}
+
+_DIM_TABLES = {"region", "nation"}
+
+
+def _entity_units(
+    spark: SparkSession, base_dir: str = BASE_SF_DIR
+) -> dict[str, int]:
+    """One offset unit per entity: 1 + max over every column carrying it."""
+    units: dict[str, int] = {}
+    cache: dict[str, DataFrame] = {
+        t: load_table(spark, base_dir, t) for t in TABLES
+    }
+    for entity, cols in _ENTITY_COLS.items():
+        mx = 0
+        for t, df in cache.items():
+            for c in cols:
+                if c in df.columns:
+                    v = df.agg(F.max(c)).collect()[0][0]
+                    mx = max(mx, int(v or 0))
+        units[entity] = mx + 1
+    return units
+
+
+def _amplify_table(
+    df: DataFrame, name: str, factor: int, units: dict[str, int]
+) -> DataFrame:
+    col_unit = {
+        c: units[e] for e, cols in _ENTITY_COLS.items() for c in cols
+    }
+    copies = []
+    for c in range(factor):
+        cp = df
+        for col in df.columns:
+            if col in col_unit and c > 0:
+                cp = cp.withColumn(
+                    col, (F.col(col) + F.lit(c * col_unit[col])).cast("long")
+                )
+        if name == "documents" and c > 0:
+            # Rotate the word sequence by 7c: same length, vocabulary and
+            # intra-copy dup structure; near-zero cross-copy shingle overlap.
+            k = 7 * c
+            cp = cp.withColumn("w", F.split(F.col("text"), " ")).withColumn(
+                "text",
+                F.array_join(
+                    F.concat(
+                        F.expr(f"slice(w, ({k} % size(w)) + 1, size(w))"),
+                        F.expr(f"slice(w, 1, {k} % size(w))"),
+                    ),
+                    " ",
+                ),
+            ).drop("w")
+        copies.append(cp)
+    out = copies[0]
+    for cp in copies[1:]:
+        out = out.unionByName(cp)
+    return out
+
+
+def build_amplified(
+    spark: SparkSession,
+    factor: int,
+    force: bool = False,
+    base_dir: str = BASE_SF_DIR,
+    out_root: str = OUT_ROOT,
+) -> str:
+    out_dir = os.path.join(out_root, f"x{factor}")
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker) and not force:
+        return out_dir
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    units = _entity_units(spark, base_dir)
+    for t in TABLES:
+        src = load_table(spark, base_dir, t)
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if t in _DIM_TABLES or factor == 1:
+            amp = src
+        else:
+            amp = _amplify_table(src, t, factor, units)
+        amp.write.mode("overwrite").parquet(dst)
+    with open(marker, "w") as fh:
+        fh.write(f"factor={factor} base={base_dir}\n")
+    return out_dir
+
+
+def _fit_slope(xs: list[float], ys: list[float]) -> float:
+    """OLS slope of log(y) on log(x)."""
+    lx = [math.log(x) for x in xs]
+    ly = [math.log(max(y, 1e-6)) for y in ys]
+    n = len(lx)
+    mx, my = sum(lx) / n, sum(ly) / n
+    den = sum((a - mx) ** 2 for a in lx)
+    if den == 0:
+        return float("nan")
+    return sum((a - mx) * (b - my) for a, b in zip(lx, ly)) / den
+
+
+def time_key(fn, spark: SparkSession, sf_dir: str) -> float:
+    samples = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def main(argv: list[str]) -> int:
+    factors = [1, 2, 4, 8]
+    force = "--rebuild" in argv
+    argv = [a for a in argv if a != "--rebuild"]
+    if "--factors" in argv:
+        i = argv.index("--factors")
+        factors = [int(x) for x in argv[i + 1].split(",")]
+        argv = argv[:i] + argv[i + 2 :]
+    queries = load_all_queries()
+    keys = argv or [k for k in DEFAULT_KEYS if k in queries]
+    unknown = [k for k in keys if k not in queries]
+    if unknown:
+        print(f"unknown keys: {unknown}", file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name="luxor-db-spark-scale-curve")
+    dirs = {f: build_amplified(spark, f, force=force) for f in factors}
+    # Warm JVM + parquet footers once per factor dir.
+    for f in factors:
+        load_table(spark, dirs[f], "lineitem").count()
+
+    flagged = []
+    results = {}
+    for key in keys:
+        times = {}
+        for f in factors:
+            times[f] = round(time_key(queries[key], spark, dirs[f]), 3)
+        slope = round(_fit_slope(list(times), list(times.values())), 3)
+        tmax = times[max(factors)]
+        ratio = round(tmax / max(times[min(factors)], 1e-6), 2)
+        bad = slope >= SLOPE_FLAG and tmax >= T_MIN
+        if bad:
+            flagged.append(key)
+        results[key] = {"times": times, "slope": slope, "ratio": ratio}
+        print(
+            json.dumps(
+                {
+                    "key": key,
+                    "times_s": {str(f): t for f, t in times.items()},
+                    "slope": slope,
+                    f"t{max(factors)}_over_t{min(factors)}": ratio,
+                    "flag": bad,
+                }
+            ),
+            flush=True,
+        )
+
+    print(
+        json.dumps(
+            {
+                "summary": "scale_curve",
+                "base": BASE_SF_DIR,
+                "factors": factors,
+                "runs": RUNS,
+                "n_keys": len(keys),
+                "flagged_superlinear": flagged,
+            }
+        )
+    )
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
