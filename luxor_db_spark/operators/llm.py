@@ -154,14 +154,21 @@ _DF_CAP = 100
     """,
 )
 def llm_dedup_near(
-    spark: SparkSession, sf_dir: str, *, skew_safe: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    skew_safe: bool = False,
+    df_cap: int | None = _DF_CAP,
 ) -> DataFrame:
     """Near-dup pairs: exact Jaccard ≥ 0.5 over distinct 3-word shingles.
 
     Inverted-index self-join: only docs sharing a shingle become candidate
     pairs; Jaccard stays an integer ratio (raw double, engine-identical).
-    Shingles with document frequency > _DF_CAP are dropped before the join
-    (stop-shingles), bounding the k² posting blowup.
+    Shingles with document frequency > ``df_cap`` (default `_DF_CAP`) are
+    dropped before the join (stop-shingles), bounding the k² posting
+    blowup; ``df_cap=None`` disables the cap entirely — the uncapped
+    ground truth `tools/recall_curve.py` measures the capped and LSH
+    paths against.
 
     Two equivalent df-cap forms (identical output, asserted in tests):
 
@@ -192,11 +199,15 @@ def llm_dedup_near(
     sh_all = d.select(
         "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES))).alias("s")
     )
-    if skew_safe:
+    if df_cap is None:
+        # Uncapped ground truth (tools/recall_curve.py): quadratic in the
+        # hottest shingle's df — measurement only, never the scale path.
+        sh = sh_all
+    elif skew_safe:
         hot = (
             sh_all.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > _DF_CAP)
+            .filter(F.col("df") > df_cap)
             .select("s")
         )
         sh = sh_all.join(hot, "s", "left_anti")
@@ -204,7 +215,7 @@ def llm_dedup_near(
         wdf = Window.partitionBy("s")
         sh = (
             sh_all.withColumn("df", F.count(F.lit(1)).over(wdf))
-            .filter(F.col("df") <= _DF_CAP)
+            .filter(F.col("df") <= df_cap)
             .drop("df")
         )
     # Aggregated from the shuffled table (NOT size(shingles) map-side):

@@ -1,0 +1,65 @@
+"""Pins for tools/recall_curve.py — the recall-vs-scale measurement.
+
+The harness's conclusions are only trustworthy if (a) the uncapped
+ground-truth mode is genuinely the same operator with the cap removed,
+and (b) the precision/recall arithmetic is right. Both are cheap to pin
+at the test SF, where the df-cap is inert (max observed shingle df ≈ 25
+≪ 100), so capped and uncapped MUST agree exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from luxor_db_spark.operators.llm import llm_dedup_near
+from tools.recall_curve import pair_metrics
+
+
+def _pairs(df) -> set[tuple[int, int]]:
+    return {(r.doc_a, r.doc_b) for r in df.select("doc_a", "doc_b").collect()}
+
+
+def test_uncapped_equals_capped_when_cap_inert(spark, sf_dir):
+    """df_cap=None is the SAME pair set as the production form at a scale
+    where no shingle crosses the cap — the uncapped mode changes nothing
+    but the cap, so the ground truth is the operator's own semantics."""
+    capped = _pairs(llm_dedup_near(spark, sf_dir))
+    uncapped = _pairs(
+        llm_dedup_near(spark, sf_dir, skew_safe=True, df_cap=None)
+    )
+    assert capped == uncapped
+    assert len(capped) > 0  # fixture has true near-dups; empty = broken
+
+
+@pytest.mark.parametrize("skew_safe", [False, True])
+def test_df_cap_param_respected(spark, sf_dir, skew_safe):
+    """A cap of 0 drops every shingle (every df ≥ 1 > 0) in BOTH forms —
+    the parameter actually reaches the filter, in both cap plumbing paths."""
+    out = llm_dedup_near(spark, sf_dir, skew_safe=skew_safe, df_cap=0)
+    assert out.count() == 0
+
+
+def test_pair_metrics_arithmetic(spark):
+    """Precision/recall on a hand-checked toy: cand = {AB, AC, AD},
+    truth = {AB, AC, BC} → tp=2, precision 2/3, recall 2/3."""
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["doc_a", "doc_b"]
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], ["doc_a", "doc_b"]
+    )
+    m = pair_metrics(cand, truth)
+    assert m["n_cand"] == 3 and m["n_truth"] == 3 and m["tp"] == 2
+    assert m["precision"] == round(2 / 3, 4)
+    assert m["recall"] == round(2 / 3, 4)
+
+
+def test_pair_metrics_empty_candidates(spark):
+    """Zero candidates must report None precision, 0.0 recall — not
+    divide-by-zero."""
+    cand = spark.createDataFrame([], "doc_a long, doc_b long")
+    truth = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    m = pair_metrics(cand, truth)
+    assert m["n_cand"] == 0 and m["tp"] == 0
+    assert m["precision"] is None
+    assert m["recall"] == 0.0
