@@ -39,6 +39,20 @@ def test_df_cap_param_respected(spark, sf_dir, skew_safe):
     assert out.count() == 0
 
 
+def test_lsh_surfaces_every_true_pair_at_fixture_scale(spark, sf_dir):
+    """The banded LSH candidates cover the complete uncapped truth set at
+    the test fixture (28 pairs at sf0.001, all Jaccard ≫ band threshold) —
+    deterministic md5-derived hashing over static data, so this is a hard
+    pin, not a probabilistic bound. Catches any band/signature regression
+    that silently starts dropping true near-dups."""
+    from luxor_db_spark.operators.llm import llm_minhash_lsh
+
+    truth = llm_dedup_near(spark, sf_dir, skew_safe=True, df_cap=None)
+    m = pair_metrics(llm_minhash_lsh(spark, sf_dir), truth)
+    assert m["n_truth"] > 0
+    assert m["recall"] == 1.0
+
+
 def test_pair_metrics_arithmetic(spark):
     """Precision/recall on a hand-checked toy: cand = {AB, AC, AD},
     truth = {AB, AC, BC} → tp=2, precision 2/3, recall 2/3."""
