@@ -329,13 +329,26 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtime; the explicit form is for engines/pipelines that pre-partition
     or when skew is known ahead of time (e.g. a boilerplate dedup key
     covering 30% of a crawl corpus).
+
+    The build side carries a SHUFFLE_HASH hint: salting only matters on the
+    shuffle path (a broadcast join never shuffles the probe side, so skew is
+    moot and the salt merely ×N-inflates the broadcast). Left to itself,
+    AQE kept picking BroadcastHashJoin on the ×N-replicated build until it
+    outgrew the threshold — serializing the whole join through one hashed
+    relation (measured 2.07 s → 0.79 s at sf0.1 and 7.9 s → 1.1 s at ×8
+    amplification after the hint; tools/scale_curve.py caught the ×8→×16
+    time INVERSION the flip caused). Shuffle-hash, not sort-merge: the
+    (key, salt) partitioning is the whole point and neither side benefits
+    from sorted output.
     """
     t = tables(spark, sf_dir, "lineitem", "orders")
     probe = t.lineitem.select("l_orderkey", "l_quantity", "l_linenumber").withColumn(
         "salt", F.pmod(F.xxhash64("l_linenumber"), F.lit(_N_SALTS)).cast("int")
     )
-    build = t.orders.select("o_orderkey", "o_orderpriority").withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(_N_SALTS - 1)))
+    build = (
+        t.orders.select("o_orderkey", "o_orderpriority")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_N_SALTS - 1))))
+        .hint("shuffle_hash")
     )
     return (
         probe.join(

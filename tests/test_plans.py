@@ -73,6 +73,18 @@ def test_broadcast_join_no_fact_shuffle(audit):
     a.assert_broadcasts(at_least=2)
 
 
+def test_skew_salted_join_stays_on_shuffle_path(audit):
+    """Salting is a SHUFFLE-path pattern: a broadcast join never shuffles
+    the probe side, so a broadcast here would mean the salt only ×N-inflated
+    the build for nothing — and AQE demonstrably picked exactly that until
+    the build outgrew the threshold (2.6× slower at sf0.1, 7× at ×8
+    amplification, and a ×8→×16 wall-time inversion in scale_curve.py).
+    The hint pins the plan this key exists to demonstrate."""
+    a = audit("join_skew_salted")
+    assert a.n_shuffled_hash_joins >= 1, a.text[:2000]
+    assert a.n_broadcast_joins == 0, a.text[:2000]
+
+
 def test_metadata_stats_never_reads_payload(audit):
     """The multimodal catalog query must not scan the payload/text column."""
     a = audit("mm_meta_stats")
