@@ -82,6 +82,14 @@ OUT_ROOT = os.path.join(
 RUNS = int(os.environ.get("LUXOR_SCALE_RUNS", "3"))
 SLOPE_FLAG = 1.35  # log-log slope above this = super-linear suspect
 T_MIN = 1.5  # ... but only if the x-max time is big enough to trust
+# A run that gets FASTER on 2x the input is not good news — it means the
+# physical plan changed shape between factors (e.g. AQE carrying a
+# marginal broadcast until the side outgrows the threshold, serializing
+# every smaller factor — exactly how join_skew_salted's build-side
+# broadcast was caught). Flag t[2f] < INVERT_RATIO * t[f] when t[f] is
+# large enough that it isn't job-overhead noise.
+INVERT_RATIO = 0.7
+INVERT_T_MIN = 1.5
 
 # The expensive / scale-sensitive representatives: every key the r4
 # verdict or bench top-10 called out, plus one per family whose scale
@@ -255,6 +263,7 @@ def main(argv: list[str]) -> int:
         load_table(spark, dirs[f], "lineitem").count()
 
     flagged = []
+    inverted = []
     results = {}
     for key in keys:
         times = {}
@@ -264,8 +273,16 @@ def main(argv: list[str]) -> int:
         tmax = times[max(factors)]
         ratio = round(tmax / max(times[min(factors)], 1e-6), 2)
         bad = slope >= SLOPE_FLAG and tmax >= T_MIN
+        inv = [
+            (a, b)
+            for a, b in zip(factors, factors[1:])
+            if times[a] >= INVERT_T_MIN
+            and times[b] < INVERT_RATIO * times[a]
+        ]
         if bad:
             flagged.append(key)
+        if inv:
+            inverted.append(key)
         results[key] = {"times": times, "slope": slope, "ratio": ratio}
         print(
             json.dumps(
@@ -275,6 +292,7 @@ def main(argv: list[str]) -> int:
                     "slope": slope,
                     f"t{max(factors)}_over_t{min(factors)}": ratio,
                     "flag": bad,
+                    "inverted_at": [f"x{a}->x{b}" for a, b in inv],
                 }
             ),
             flush=True,
@@ -289,6 +307,7 @@ def main(argv: list[str]) -> int:
                 "runs": RUNS,
                 "n_keys": len(keys),
                 "flagged_superlinear": flagged,
+                "flagged_inverted": inverted,
             }
         )
     )
