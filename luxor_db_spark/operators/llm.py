@@ -339,25 +339,49 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup removal: drop any vector cosine-similar (≥0.3) to a
     lower-id vector of the same label (greedy keep-first, blocked by label).
 
-    Blocking bounds the pair space; the anti-join keeps survivors only.
+    SCALE CAVEAT (measured, tools/scale_curve.py): label cardinality is
+    CONSTANT, so label blocking does NOT bound the pair space as the corpus
+    grows — within-label pairs are O(N²/|labels|), and the ×1/×4/×16
+    amplified curve ran 6.5/29/137 s. This key is the exact oracle-checked
+    form for bounded corpora; the sub-quadratic scale path is
+    `llm_dedup_semantic_block` (hyperplane sign-bit blocks whose count
+    grows with N) or `llm_ann_ivf` for the retrieval side.
+
+    Shape: one direct LEFT ANTI self-join mirroring the oracle's NOT
+    EXISTS — per survivor-candidate the probe stops at the FIRST
+    dominating match (no pair-set materialization, no distinct), which on
+    dup-dense corpora kills most rows on their first twin. Norms are
+    precomputed per row (same sqrt-of-fold as `_cosine`, so the quotient
+    is bit-identical) instead of per pair — pairs cost one zip_with dot,
+    not three folds.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    dom = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        .withColumn(
-            "cos", F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
-        )
-        .filter(F.col("cos") >= 0.3)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
     )
-    return e.join(dom, "vec_id", "left_anti").select("vec_id", "label")
+    en = e.select("vec_id", "label", "embedding", nrm.alias("nrm"))
+    keep, dom = en.alias("keep"), en.alias("dom")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("dom.embedding"),
+            F.col("keep.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cond = (
+        (F.col("dom.label") == F.col("keep.label"))
+        & (F.col("dom.vec_id") < F.col("keep.vec_id"))
+        & (F.round(dot / (F.col("dom.nrm") * F.col("keep.nrm")), 4) >= 0.3)
+    )
+    return keep.join(dom, cond, "left_anti").select("vec_id", "label")
 
 
 # --- text analysis family --------------------------------------------------
