@@ -62,29 +62,34 @@ ELSE [] END
 """.format(tok=_TOKENS_DUCK)
 
 
-def _cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity over float32 arrays, computed in double on the JVM
-    (zip_with + aggregate fold — sequential, matching DuckDB's kernel)."""
-    dot = F.aggregate(
+def _dot(a: Column, b: Column) -> Column:
+    """Dot product over float32 arrays in double (zip_with + sequential
+    fold, matching DuckDB's kernel)."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(
+
+
+def _l2norm(a: Column) -> Column:
+    """L2 norm as sqrt of the same sequential fold — shared by `_cosine`
+    and the per-row precompute in `llm_dedup_embed`, so the quotient
+    dot/(na·nb) is bit-identical whether norms are folded per pair or
+    per row."""
+    return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    return dot / (na * nb)
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity over float32 arrays, computed in double on the JVM
+    (zip_with + aggregate fold — sequential, matching DuckDB's kernel)."""
+    return _dot(a, b) / (_l2norm(a) * _l2norm(b))
 
 
 _COS_DUCK = (
@@ -356,26 +361,11 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     not three folds.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(
-                F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    en = e.select(
+        "vec_id", "label", "embedding", _l2norm(F.col("embedding")).alias("nrm")
     )
-    en = e.select("vec_id", "label", "embedding", nrm.alias("nrm"))
     keep, dom = en.alias("keep"), en.alias("dom")
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("dom.embedding"),
-            F.col("keep.embedding"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot(F.col("dom.embedding"), F.col("keep.embedding"))
     cond = (
         (F.col("dom.label") == F.col("keep.label"))
         & (F.col("dom.vec_id") < F.col("keep.vec_id"))

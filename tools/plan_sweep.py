@@ -45,9 +45,6 @@ _ALLOWED_REPEATS: dict[str, dict[str, tuple[int, str]]] = {
     "ts_outlier_mad": {
         "events": (3, "exact MAD is inherently median->residual-median->flag; each pass reduces map-side to the |types| grain (docstring names approx_percentile as the 1-pass 100TB drop-in)")
     },
-    "llm_dedup_embed": {
-        "embeddings": (2, "direct NOT-EXISTS anti self-join: keep + dominator sides (pair-set materialization and third survivor scan removed in r5)")
-    },
     "llm_dedup_report": {
         "documents": (4, "composes llm_dedup_near + llm_dedup_fuzzy + exact fingerprint; each method's self-join contributes its two sides, partially deduped by ReusedExchange")
     },
