@@ -44,15 +44,29 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luxor_db_spark.session import configure
 
     configure(spark)
-    raw_schema = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")
-    ).schema
-    raw = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # Spark-written layout (e.g. the tools/scale_curve.py amplified
+        # fixtures): events.parquet is a DIRECTORY of part files. Point the
+        # file source at it directly and leave maxFilesPerTrigger unset so
+        # ALL part files land in microbatch 0 — semantics identical to the
+        # single-file fixture (one data batch), regardless of how many part
+        # files the writer emitted. (Per-file batching would make
+        # append-mode watermark drops depend on nondeterministic file
+        # listing order, and update-mode sinks would see one emission per
+        # batch instead of one per key.)
+        raw = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # Driver fixture layout: {sf_dir}/events.parquet is a single file.
+        # The file source wants a directory, so scan sf_dir with a name
+        # filter; one matching file → exactly one data batch.
+        raw = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sf_dir)
+        )
     if isinstance(raw_schema["ts"].dataType, T.LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
@@ -426,6 +440,7 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     a crashed driver resumes from the write-ahead offset log with no
     reprocessing. Returns one summary row (n_first, n_second, n_total).
     """
+    import os
     import shutil
     import tempfile
 
@@ -437,9 +452,29 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="luxor_ckpt_out_")
     from luxor_db_spark.catalog import table_path
 
-    shutil.copyfile(table_path(sf_dir, "events"), f"{src}/f1.parquet")
+    def _copy_events(stem: str) -> str:
+        # The fixture may be a single parquet file (driver layout) or a
+        # Spark-written directory of part files (amplified fixtures). The
+        # file-stream source does NOT recurse into non-partition
+        # subdirectories, so flatten a directory fixture into sibling
+        # files ({stem}_0.parquet, {stem}_1.parquet, ...). Returns one
+        # readable file path (for schema sniffing).
+        p = table_path(sf_dir, "events")
+        if os.path.isdir(p):
+            parts = sorted(
+                f
+                for f in os.listdir(p)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            for i, f in enumerate(parts):
+                shutil.copyfile(os.path.join(p, f), f"{stem}_{i}.parquet")
+            return f"{stem}_0.parquet"
+        shutil.copyfile(p, f"{stem}.parquet")
+        return f"{stem}.parquet"
 
-    src_schema = spark.read.parquet(f"{src}/f1.parquet").schema
+    first = _copy_events(f"{src}/f1")
+
+    src_schema = spark.read.parquet(first).schema
 
     def run_once() -> None:
         raw = (
@@ -462,7 +497,7 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_once()
     n_first = spark.read.parquet(out).count()
-    shutil.copyfile(table_path(sf_dir, "events"), f"{src}/f2.parquet")
+    _copy_events(f"{src}/f2")
     run_once()  # same checkpoint: resumes, processes only f2
     n_total = spark.read.parquet(out).count()
     return spark.createDataFrame(

@@ -134,3 +134,41 @@ def test_fit_slope_recovers_known_exponents():
     assert abs(_fit_slope(xs, [3 * x for x in xs]) - 1.0) < 1e-9
     assert abs(_fit_slope(xs, [0.5 * x * x for x in xs]) - 2.0) < 1e-9
     assert abs(_fit_slope(xs, [7.0] * 4) - 0.0) < 1e-9
+
+
+@pytest.fixture(scope="module")
+def dir_layout_x1(spark, tmp_path_factory):
+    """BASE's data re-written in Spark directory layout (factor=1)."""
+    root = str(tmp_path_factory.mktemp("dirlayout"))
+    return build_amplified(spark, 1, base_dir=BASE, out_root=root)
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "stream_tumbling",  # complete mode
+        "stream_watermark",  # append mode + watermark drop
+        "stream_dedup",  # keyed state
+        "stream_checkpoint_resume",  # file-flattening copy path
+    ],
+)
+def test_stream_layouts_agree(spark, dir_layout_x1, key):
+    """The streaming source must read a single-file fixture (driver
+    layout) and a Spark-written events.parquet/ DIRECTORY (amplified
+    layout) to the SAME result — including the one-data-batch guarantee
+    that makes append-mode watermark drops deterministic. Guards the
+    layout branch in streams.stream_events and the part-file flattening
+    in stream_checkpoint_resume (a nested directory copy silently
+    produces an EMPTY stream: the file source does not recurse into
+    non-partition subdirectories)."""
+    from luxor_db_spark.registry import load_all_queries
+
+    q = load_all_queries()[key]
+    a = q(spark, BASE)
+    b = q(spark, dir_layout_x1)
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    a, b = a.select(cols), b.select(cols)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0, f"{key}: layouts disagree"
+    assert b.exceptAll(a).count() == 0, f"{key}: layouts disagree"
