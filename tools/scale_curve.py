@@ -262,8 +262,18 @@ def main(argv: list[str]) -> int:
         # consecutive-pair inversion check is not.
         factors = sorted({int(x) for x in argv[i + 1].split(",")})
         argv = argv[:i] + argv[i + 2 :]
+    ledger_path = None
+    if "--ledger" in argv:
+        i = argv.index("--ledger")
+        ledger_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    run_all = "--all" in argv
+    argv = [a for a in argv if a != "--all"]
     queries = load_all_queries()
-    keys = argv or [k for k in DEFAULT_KEYS if k in queries]
+    if run_all:
+        keys = list(queries)
+    else:
+        keys = argv or [k for k in DEFAULT_KEYS if k in queries]
     unknown = [k for k in keys if k not in queries]
     if unknown:
         print(f"unknown keys: {unknown}", file=sys.stderr)
@@ -277,11 +287,24 @@ def main(argv: list[str]) -> int:
 
     flagged = []
     inverted = []
+    errored = []
     results = {}
     for key in keys:
         times = {}
+        err = None
         for f in factors:
-            times[f] = round(time_key(queries[key], spark, dirs[f]), 3)
+            try:
+                times[f] = round(time_key(queries[key], spark, dirs[f]), 3)
+            except Exception as exc:  # keep sweeping; report per key
+                err = f"x{f}: {type(exc).__name__}: {exc}"
+                break
+        if err is not None:
+            errored.append(key)
+            results[key] = {"times": times, "error": err}
+            print(
+                json.dumps({"key": key, "error": err[:400]}), flush=True
+            )
+            continue
         slope = round(_fit_slope(list(times), list(times.values())), 3)
         tmax = times[max(factors)]
         ratio = round(tmax / max(times[min(factors)], 1e-6), 2)
@@ -311,23 +334,44 @@ def main(argv: list[str]) -> int:
             flush=True,
         )
 
-    print(
-        json.dumps(
-            {
-                "summary": "scale_curve",
-                "base": BASE_SF_DIR,
-                "factors": factors,
-                "runs": RUNS,
-                "n_keys": len(keys),
-                "flagged_superlinear": flagged,
-                "flagged_inverted": inverted,
-                "unexpected_inverted": [
-                    k for k in inverted if k not in EXPECTED_INVERSIONS
-                ],
-            }
-        )
+    summary = {
+        "summary": "scale_curve",
+        "base": BASE_SF_DIR,
+        "factors": factors,
+        "runs": RUNS,
+        "n_keys": len(keys),
+        "flagged_superlinear": flagged,
+        "flagged_inverted": inverted,
+        "unexpected_inverted": [
+            k for k in inverted if k not in EXPECTED_INVERSIONS
+        ],
+        "errored": errored,
+    }
+    print(json.dumps(summary))
+    if ledger_path:
+        with open(ledger_path, "w") as fh:
+            json.dump(
+                {
+                    "meta": summary,
+                    "curves": {
+                        k: {
+                            **v,
+                            "times": {str(f): t for f, t in v["times"].items()},
+                        }
+                        for k, v in results.items()
+                    },
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+    return (
+        1
+        if flagged
+        or errored
+        or any(k not in EXPECTED_INVERSIONS for k in inverted)
+        else 0
     )
-    return 1 if flagged or any(k not in EXPECTED_INVERSIONS for k in inverted) else 0
 
 
 if __name__ == "__main__":
