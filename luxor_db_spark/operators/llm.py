@@ -693,11 +693,29 @@ def llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All same-label pairs above cosine 0.3 (label-blocked pair join —
-    blocking is what keeps the pair space sub-quadratic at scale)."""
+    """All same-label pairs above cosine 0.3 (label-blocked pair join).
+
+    SCALE CAVEAT (measured, tools/scale_curve.py): like
+    `llm_dedup_embed`, label cardinality is CONSTANT, so the within-label
+    pair space is O(N²/|labels|) AND the qualifying output itself grows
+    quadratically — this key's contract is to EMIT those pairs, so unlike
+    the anti-join dedup there is no early-out rewrite; the sub-quadratic
+    emitters are `llm_minhash_lsh` / `llm_dedup_semantic_block` (blocked
+    candidates) and `llm_ann_ivf` (probe-bounded). What IS free: norms
+    are precomputed per row (same sqrt-of-fold as `_cosine`, so the
+    quotient is bit-identical), making each pair one zip_with dot instead
+    of three array folds — measured ×1 7.5→4.2 s, ×4 34.9→10.4 s; at ×16
+    the per-pair dot itself is the floor (~160 s for ~1.3e9 within-label
+    pairs) — that cost is linear in the PAIR count, which is exactly the
+    quadratic the blocked emitters above exist to avoid.
+    """
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
+    en = e.select(
+        "vec_id", "label", "embedding", _l2norm(F.col("embedding")).alias("nrm")
+    )
+    a = en.alias("a")
+    b = en.alias("b")
+    dot = _dot(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(
             b,
@@ -705,7 +723,7 @@ def llm_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .withColumn(
-            "sim", F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
+            "sim", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
         )
         .filter(F.col("sim") >= 0.3)
         .select(
@@ -2329,10 +2347,19 @@ def llm_dedup_semantic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("embedding", i + 1) > 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
         blk = bit if blk is None else blk + bit
-    b = e.select("vec_id", "embedding", blk.alias("blk"))
+    b = e.select(
+        "vec_id",
+        "embedding",
+        blk.alias("blk"),
+        _l2norm(F.col("embedding")).alias("nrm"),
+    )
     a, b2 = b.alias("a"), b.alias("b2")
+    # Per-row norm precompute (same fold as _cosine → bit-identical
+    # quotient); each candidate pair costs one zip_with dot.
     sim = F.round(
-        _cosine(F.col("a.embedding"), F.col("b2.embedding")), 4
+        _dot(F.col("a.embedding"), F.col("b2.embedding"))
+        / (F.col("a.nrm") * F.col("b2.nrm")),
+        4,
     )
     return (
         a.join(
