@@ -71,11 +71,66 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global ntile: single-partition window — fine for ranked reporting
-    output, never for fact-scale data (documented global-sort shape)."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+    """Global ntile WITHOUT a global-sort single task: the win_pareto
+    two-level recipe (range-partition on the sort key, local row_number
+    per range, broadcast exclusive per-partition count offsets) yields
+    each row's GLOBAL rank rk at npart-way parallelism, and NTILE(k) is a
+    closed form of (rk, n): with q = n div k, r = n mod k, the first r
+    tiles hold q+1 rows, so
+    tile = ceil(rk/(q+1))                    for rk ≤ r·(q+1)
+         = r + ceil((rk − r·(q+1))/q)        otherwise
+    computed in exact BIGINT arithmetic (ceil(a/b) = (a+b−1) div b) — no
+    floats, engine-portable. (o_totalprice, o_orderkey) is a strict total
+    order, so ranks — and therefore tiles — are deterministic under any
+    range split. The persist() pins spark_partition_id across the three
+    branches exactly as win_pareto documents.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    try:
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        npart = 32
+    part = o.repartitionByRange(
+        npart, F.col("o_totalprice"), F.col("o_orderkey")
+    ).withColumn("pid", F.spark_partition_id())
+    part = part.persist()
+
+    wloc = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    loc = part.withColumn("lrk", F.row_number().over(wloc))
+
+    pcnt = part.groupBy("pid").agg(F.count(F.lit(1)).alias("pcnt"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = pcnt.select(
+        "pid",
+        F.coalesce(F.sum("pcnt").over(woff), F.lit(0).cast("bigint"))
+        .alias("cnt_off"),
+    )
+    tot = pcnt.agg(F.sum("pcnt").alias("n"))  # exactly one row
+
+    k = F.lit(4).cast("bigint")
+    rk = (F.col("lrk") + F.col("cnt_off")).cast("bigint")
+    q = F.expr("n div 4")
+    r = F.col("n") % k
+    big = q + F.lit(1)
+    in_big = rk <= r * big
+    # exact integer ceil-div in both branches
+    tile = F.when(
+        in_big, F.expr("(rk_ + big_ - 1) div big_")
+    ).otherwise(r + F.expr("(rk_ - r_ * big_ + q_ - 1) div q_"))
+    return (
+        loc.join(F.broadcast(off), "pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rk_", rk)
+        .withColumn("q_", q)
+        .withColumn("r_", r)
+        .withColumn("big_", big)
+        .select(
+            "o_orderkey",
+            tile.cast("int").alias("quartile"),
+        )
+    )
 
 
 @query(

@@ -600,3 +600,24 @@ def test_rrf_ranks_candidate_lists_not_corpus(audit):
         "rrf lost its candidate-depth cut: rank windows are running "
         "over the full corpus again"
     )
+
+
+def test_ntile_rank_is_range_partitioned(audit):
+    """win_ntile's global rank must be the two-level form: range partition
+    on the sort key, row_number windowed by the range-partition id — never
+    a single-task unpartitioned NTILE/row_number over the fact table. The
+    bounded offsets window (ordered by pid over ≤ npart rows) is exempt."""
+    import re
+
+    a = audit("win_ntile")
+    assert "rangepartitioning(o_totalprice" in a.text, (
+        "expected repartitionByRange on o_totalprice in the plan"
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", a.text)
+    price_specs = [s for s in specs if "o_totalprice#" in s]
+    assert price_specs, "expected a window ordered by o_totalprice"
+    for s in price_specs:
+        assert s.lstrip().startswith("pid#"), (
+            f"window over o_totalprice not partitioned by pid (single-task "
+            f"global ntile reintroduced): windowspecdefinition({s}"
+        )
