@@ -120,6 +120,38 @@ def _load_driver_checked(max_round: int | None = None) -> dict[str, int]:
 _LAST_GREEN_ROUND: dict[str, int] = _load_driver_checked()
 DRIVER_CHECKED: frozenset[str] = frozenset(_LAST_GREEN_ROUND)
 
+
+def _load_stale() -> frozenset[str]:
+    """Green keys whose source changed since the round that verified them.
+
+    ``docs/driver_key_evidence.json`` (built by ``tools/key_evidence.py``
+    from git archaeology) records the per-key source hash at each key's
+    last driver-green snapshot; comparing against the CURRENT tree's hashes
+    (``key_hash.hashes_from_tree``, pure AST, ~50 ms) yields the keys whose
+    green evidence no longer describes the shipped code — e.g. the r5
+    ``win_ntile`` rewrite riding an r2 green row. These re-queue behind
+    fresh keys but ahead of the normal rotation. Missing/corrupt ledger →
+    empty set (ordering degrades to the plain fresh-first policy).
+    """
+    try:
+        evidence = json.loads(
+            (_REPO_ROOT / "docs" / "driver_key_evidence.json").read_text()
+        )
+        from luxor_db_spark.key_hash import hashes_from_tree
+
+        current = hashes_from_tree(_REPO_ROOT)
+    except (OSError, json.JSONDecodeError, ImportError):
+        return frozenset()
+    stale = set()
+    for key, row in evidence.items():
+        cur = current.get(key)
+        if cur is not None and row.get("hash_at_green") != cur:
+            stale.add(key)
+    return frozenset(stale)
+
+
+STALE_EVIDENCE: frozenset[str] = _load_stale()
+
 # Driver window size observed in rounds 1-2.
 WINDOW_SIZE = 50
 
@@ -153,19 +185,26 @@ _LATE_FRESH: frozenset[str] = frozenset(
 
 
 def coverage_order(
-    keys: list[str], ledger: dict[str, int] | None = None
+    keys: list[str],
+    ledger: dict[str, int] | None = None,
+    stale: frozenset[str] | None = None,
 ) -> list[str]:
     """Order keys for the driver: never-green first (registry order), then
-    green keys by ascending last-green round (staleness resample order).
+    STALE-EVIDENCE keys (green row predates a code/oracle change — see
+    ``_load_stale``) by ascending green round, then current-green keys by
+    ascending last-green round (least-recently-verified resample order).
 
     While fresh keys outnumber the window, this behaves exactly like
     fresh-first rotation. Once every key has a green row, the window's tail
-    automatically re-checks the LEAST-recently-verified keys each round, so
-    a regression in a long-rotated-out key is caught within a few rounds
-    instead of never (the local pytest parity mirror remains the per-commit
-    regression gate; this is the driver-side backstop)."""
+    automatically re-checks rewritten keys first, then the LEAST-recently-
+    verified keys, so a regression in a long-rotated-out key is caught
+    within a few rounds instead of never (the local pytest parity mirror
+    remains the per-commit regression gate; this is the driver-side
+    backstop)."""
     if ledger is None:
         ledger = _LAST_GREEN_ROUND
+    if stale is None:
+        stale = STALE_EVIDENCE
     order = {k: i for i, k in enumerate(keys)}
     fresh = sorted(
         (k for k in keys if k not in ledger),
@@ -173,7 +212,7 @@ def coverage_order(
     )
     done = sorted(
         (k for k in keys if k in ledger),
-        key=lambda k: (ledger.get(k, 0), order[k]),
+        key=lambda k: (k not in stale, ledger.get(k, 0), order[k]),
     )
     return fresh + done
 
@@ -189,7 +228,24 @@ def expected_window_for_round(keys: list[str], rnd: int) -> list[str]:
     """Reconstruct the window prediction round ``rnd``'s queries() was built
     from: the ledger as of rounds < rnd, same ordering policy. Valid only
     while ``keys`` matches that round's registry (the post-round audit runs
-    before new keys are registered; the registry was frozen in r5)."""
-    return coverage_order(keys, _load_driver_checked(max_round=rnd - 1))[
-        :WINDOW_SIZE
-    ]
+    before new keys are registered; the registry was frozen in r5).
+
+    From round 6 on, the exact prediction is SAVED at snapshot time
+    (``docs/predicted_window_r{N}.json``, written by
+    ``tools/key_evidence.py --predict N``) because the stale-evidence
+    rule makes the window depend on the snapshot's source hashes, which a
+    later working tree cannot reconstruct. Rounds <= 5 predate the rule,
+    so ledger reconstruction with staleness disabled is exact for them."""
+    saved = _REPO_ROOT / "docs" / f"predicted_window_r{rnd}.json"
+    if saved.exists():
+        try:
+            window = json.loads(saved.read_text())
+            if isinstance(window, list):
+                return window
+        except (OSError, json.JSONDecodeError):
+            pass
+    return coverage_order(
+        keys,
+        _load_driver_checked(max_round=rnd - 1),
+        stale=frozenset(),
+    )[:WINDOW_SIZE]

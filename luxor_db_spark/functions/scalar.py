@@ -316,9 +316,9 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
            CAST(len(json_keys(props)) AS INT) AS n_entries,
            array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
-           list_aggregate(list_transform(json_keys(props),
+           CAST(list_aggregate(list_transform(json_keys(props),
                kk -> CAST(json_extract_string(props, '$.' || kk) AS BIGINT)),
-               'sum') AS vals_sum
+               'sum') AS BIGINT) AS vals_sum
     FROM events WHERE event_id < 1000
     """,
 )

@@ -97,6 +97,17 @@ _COS_DUCK = (
 )
 
 
+def _signbits_duck(col: str, k: int) -> str:
+    """DuckDB expression for the k-bit sign-pattern block key of a vector's
+    leading dimensions (hyperplane-LSH bucket; shared by
+    `llm_dedup_semantic_block` and `llm_sim_threshold`)."""
+    terms = " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(k)
+    )
+    return f"({terms})"
+
+
 # --- dedup family ----------------------------------------------------------
 
 
@@ -682,33 +693,15 @@ def llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_sim_threshold",
-    oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-           ROUND({_COS_DUCK.format(a='a.embedding', b='b.embedding')}, 4) AS sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND({_COS_DUCK.format(a='a.embedding', b='b.embedding')}, 4) >= 0.3
-    """,
-)
-def llm_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All same-label pairs above cosine 0.3 (label-blocked pair join).
-
-    SCALE CAVEAT (measured, tools/scale_curve.py): like
-    `llm_dedup_embed`, label cardinality is CONSTANT, so the within-label
-    pair space is O(N²/|labels|) AND the qualifying output itself grows
-    quadratically — this key's contract is to EMIT those pairs, so unlike
-    the anti-join dedup there is no early-out rewrite; the sub-quadratic
-    emitters are `llm_minhash_lsh` / `llm_dedup_semantic_block` (blocked
-    candidates) and `llm_ann_ivf` (probe-bounded). What IS free: norms
-    are precomputed per row (same sqrt-of-fold as `_cosine`, so the
-    quotient is bit-identical), making each pair one zip_with dot instead
-    of three array folds — measured ×1 7.5→4.2 s, ×4 34.9→10.4 s; at ×16
-    the per-pair dot itself is the floor (~160 s for ~1.3e9 within-label
-    pairs) — that cost is linear in the PAIR count, which is exactly the
-    quadratic the blocked emitters above exist to avoid.
-    """
+def sim_threshold_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNREGISTERED measurement harness: ALL same-label pairs above cosine
+    0.3 — the pre-r6 `llm_sim_threshold` contract, kept as the exact truth
+    path for recall measurement (like the uncapped Jaccard truth in
+    `llm_near_dup_eval`). Deliberately not a registry key: the qualifying
+    OUTPUT itself is O(N²) within constant-cardinality labels (measured
+    ×16/×1 wall ratio 40.2, slope 1.33 — docs/scale_curves.json), so no
+    rewrite can make the emit-everything form scale; the registered
+    `llm_sim_threshold` bounds both candidates and output instead."""
     e = load_table(spark, sf_dir, "embeddings")
     en = e.select(
         "vec_id", "label", "embedding", _l2norm(F.col("embedding")).alias("nrm")
@@ -732,6 +725,103 @@ def llm_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.label").alias("label"),
             "sim",
         )
+    )
+
+
+SIM_THRESHOLD_ALLPAIRS_SQL = f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           ROUND({_COS_DUCK.format(a='a.embedding', b='b.embedding')}, 4) AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_COS_DUCK.format(a='a.embedding', b='b.embedding')}, 4) >= 0.3
+"""
+
+
+@query(
+    "llm_sim_threshold",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             {_signbits_duck("embedding", 8)} AS blk
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id, b2.vec_id AS neighbor_id, a.label,
+             ROUND({_COS_DUCK.format(a='a.embedding', b='b2.embedding')}, 4)
+               AS sim
+      FROM b a JOIN b b2
+        ON a.label = b2.label AND a.blk = b2.blk
+           AND a.vec_id <> b2.vec_id
+    )
+    SELECT vec_id, neighbor_id, label, sim, CAST(rnk AS INT) AS rnk
+    FROM (SELECT vec_id, neighbor_id, label, sim,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM cand WHERE sim >= 0.3)
+    WHERE rnk <= 5
+    """,
+)
+def llm_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most-similar same-label neighbors per vector with cosine
+    ≥ 0.3, candidates blocked by the 8-bit sign pattern of the leading
+    dimensions (256-bucket hyperplane-style LSH, same family as
+    `llm_dedup_semantic_block`'s 12-bit blocks).
+
+    Re-scoped in r6 from "emit ALL same-label pairs ≥ 0.3": that contract's
+    OUTPUT was itself O(N²) within constant-cardinality labels (measured
+    ×16/×1 wall ratio 40.2 — docs/scale_curves.json), so no plan rewrite
+    could save it. The bounded form caps output at 5 rows per vector and
+    caps candidates at Σ|label∩block|² — the equi-join on (label, blk)
+    shuffles embeddings once and stays sub-quadratic while blocks spread
+    (the 12-bit variant measured slope ≤ 0.27). Recall trade: pairs whose
+    leading sign bits differ are not candidates — `sim_threshold_allpairs`
+    above keeps the exact all-pairs form as the measurement/truth harness.
+
+    Determinism: sim is ROUND(dot/(na·nb), 4) with per-row norm precompute
+    (bit-identical fold in both engines); rank ties break on neighbor_id.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    blk = None
+    for i in range(8):
+        bit = F.when(
+            F.element_at("embedding", i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        blk = bit if blk is None else blk + bit
+    en = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        blk.alias("blk"),
+        _l2norm(F.col("embedding")).alias("nrm"),
+    )
+    a, b2 = en.alias("a"), en.alias("b2")
+    sim = F.round(
+        _dot(F.col("a.embedding"), F.col("b2.embedding"))
+        / (F.col("a.nrm") * F.col("b2.nrm")),
+        4,
+    )
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.label") == F.col("b2.label"))
+            & (F.col("a.blk") == F.col("b2.blk"))
+            & (F.col("a.vec_id") != F.col("b2.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b2.vec_id").alias("neighbor_id"),
+            F.col("a.label").alias("label"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("vec_id", "neighbor_id", "label", "sim", "rnk")
     )
 
 
@@ -2297,14 +2387,6 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     )
-
-
-def _signbits_duck(col: str, k: int) -> str:
-    terms = " + ".join(
-        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(k)
-    )
-    return f"({terms})"
 
 
 @query(

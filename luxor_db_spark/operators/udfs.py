@@ -134,7 +134,8 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "udtf_python",
     oracle="""
-    SELECT 'band_' || CAST(i AS VARCHAR) AS bucket, i * 100000.0 AS bound
+    SELECT 'band_' || CAST(i AS VARCHAR) AS bucket,
+           CAST(i * 100000.0 AS DOUBLE) AS bound
     FROM generate_series(0, 4) AS t(i)
     """,
 )

@@ -92,6 +92,25 @@ def assert_parity(sdf, duck_con, sql: str, key: str = "?") -> None:
     assert sorted(s_cols) == sorted(d_cols), (
         f"[{key}] column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
     )
+    # The driver canonicalizes through pandas, where DuckDB DECIMAL/HUGEINT
+    # become float64 while Spark BIGINT stays int64 — so int-vs-float/decimal
+    # drift hash-mismatches there even when values render equal here (r5
+    # fn_map: DuckDB widens integer SUM/list_aggregate to DECIMAL(38,0) —
+    # CAST the oracle, see parity.py). fetchall() hides HUGEINT (returns
+    # int), so the declared Arrow schema is checked too.
+    from luxor_db_spark.parity import declared_class_drift, numeric_class_drift
+
+    drift = numeric_class_drift(s_cols, s_rows, d_cols, d_rows)
+    try:
+        arrow_schema = duck_con.execute(sql).arrow().schema
+    except Exception:  # noqa: BLE001 — arrow fetch unsupported for this shape
+        arrow_schema = None
+    if arrow_schema is not None:
+        drift += declared_class_drift(sdf.schema, arrow_schema)
+    assert not drift, (
+        f"[{key}] numeric type-class drift (driver-fatal even if values "
+        f"render equal — CAST the oracle side): {sorted(set(drift))}"
+    )
     assert len(s_rows) == len(d_rows), (
         f"[{key}] row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
     )

@@ -141,6 +141,115 @@ def test_driver_window_prioritizes_oldest_unchecked_keys():
     assert ordered[: len(fresh)] == fresh and ordered[len(fresh):] == checked
 
 
+def test_key_hash_covers_every_registered_key():
+    """The stale-evidence rule (driver_coverage._load_stale) only works if
+    key_hash.hashes_from_tree can locate EVERY registry key's source — a
+    key the AST extractor misses silently escapes re-queue forever (the
+    r5 flagship_q1 gap: query(...)(fn) registration, not a decorator)."""
+    from pathlib import Path
+
+    from luxor_db_spark.key_hash import hashes_from_tree
+    from luxor_db_spark.registry import load_all_queries
+
+    keys = set(load_all_queries())
+    hashed = set(hashes_from_tree(Path(__file__).resolve().parent.parent))
+    missing = keys - hashed
+    assert not missing, (
+        f"keys invisible to the stale-evidence hasher (extend "
+        f"key_hash.key_sources for their registration pattern): "
+        f"{sorted(missing)}"
+    )
+
+
+def test_stale_evidence_requeues_rewritten_keys():
+    """A green key whose source hash changed since its green round must be
+    ordered ahead of current-green keys (but behind never-green keys) —
+    the r5 lesson: win_ntile's r5 rewrite rode an r2 green row the driver
+    never executed."""
+    from luxor_db_spark.driver_coverage import coverage_order
+
+    keys = ["a", "b", "c", "d"]
+    ledger = {"b": 2, "c": 1, "d": 3}  # a never green
+    ordered = coverage_order(keys, ledger, stale=frozenset({"b"}))
+    assert ordered == ["a", "b", "c", "d"]  # fresh, stale, then by round
+
+
+def test_predicted_window_file_is_current():
+    """docs/predicted_window_r{N}.json for the PENDING round (no
+    CORRECTNESS_r{N}.json yet) must equal the live expected_window — it is
+    what the post-round audit will compare the driver's actual keys
+    against, so a stale file (operator edited after the last
+    `key_evidence.py --predict N`) makes that audit meaningless.
+    Regenerate with: python tools/key_evidence.py --predict N."""
+    import json
+    import re
+    from pathlib import Path
+
+    from luxor_db_spark.driver_coverage import expected_window
+    from luxor_db_spark.registry import load_all_queries
+
+    root = Path(__file__).resolve().parent.parent
+    done = {
+        int(re.search(r"r(\d+)", p.name).group(1))
+        for p in root.glob("CORRECTNESS_r*.json")
+    }
+    pending = [
+        (int(re.search(r"r(\d+)", p.name).group(1)), p)
+        for p in (root / "docs").glob("predicted_window_r*.json")
+    ]
+    pending = [(n, p) for n, p in pending if n not in done]
+    if not pending:
+        pytest.skip("no pending-round prediction file")
+    rnd, path = max(pending)
+    saved = json.loads(path.read_text())
+    live = expected_window(list(load_all_queries()))
+    assert saved == live, (
+        f"docs/predicted_window_r{rnd}.json is stale — rerun "
+        f"`python tools/key_evidence.py && python tools/key_evidence.py "
+        f"--predict {rnd}` (diff: saved-only="
+        f"{sorted(set(saved) - set(live))[:5]}, live-only="
+        f"{sorted(set(live) - set(saved))[:5]})"
+    )
+
+
+def test_driver_sim_flags_numeric_class_drift(spark):
+    """r5 blind-spot regression (VERDICT r5 ask #2): the sim's float
+    quantization collapsed Spark BIGINT 69 and DuckDB DECIMAL(38,0) 69 to
+    the same string, shipping fn_map red. The typed-drift check must now
+    FAIL exactly the pre-fix fn_map shape: an int column on the Spark side
+    vs a DuckDB integer aggregate widened to DECIMAL/HUGEINT."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from driver_sim import check_key
+
+    con = duckdb.connect()
+
+    def fake_fn(spark_, sf_dir):
+        return spark_.range(3).selectExpr("CAST(id * 7 AS BIGINT) AS vals_sum")
+
+    # DuckDB SUM over integers widens to HUGEINT/DECIMAL(38,0) — the
+    # pre-fix fn_map shape. fetchall() converts it back to int, so only
+    # the declared-Arrow-schema check can see it.
+    oracle = (
+        "SELECT SUM(v) AS vals_sum FROM (VALUES (0),(7),(14)) t(v) GROUP BY v"
+    )
+    out = check_key("drift_probe", fake_fn, oracle, spark, con)
+    con.close()
+    assert out["status"] == "FAIL" and out.get("dtype_drift"), (
+        f"sim no longer flags int-vs-Decimal drift (r5 fn_map class): {out}"
+    )
+    # And the all-BIGINT fixed form passes.
+    con2 = duckdb.connect()
+    fixed = oracle.replace("SUM(v)", "CAST(SUM(v) AS BIGINT)")
+    out2 = check_key("drift_probe_fixed", fake_fn, fixed, spark, con2)
+    con2.close()
+    assert out2["status"] == "pass", out2
+
+
 def test_driver_window_policy_matches_observed_rounds():
     """Post-round audit (round-3/4 VERDICT ask): the keys the driver
     ACTUALLY checked in the latest CORRECTNESS_r{N}.json must be a subset
@@ -252,6 +361,8 @@ def test_broadcast_hints_only_on_constant_grain_sides():
             "z",  # 1-row bounds
         },
         "scans.py": {"n_s"},  # per-status counts (|statuses|)
+        "windows.py": {"off", "tot"},  # ntile: <=npart pid offsets; 1-row total
+
         "timeseries.py": {
             "base", "g", "mad", "med", "off", "prof", "stats", "tot",
         },  # per-event-type stats (5 types), pid offsets (<=npart), 1-row

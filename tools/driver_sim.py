@@ -110,11 +110,32 @@ def check_key(key, fn, oracle_sql, spark, con) -> dict:
         cd = _canon_frame(d_cols, d_rows)
         out["rows_match"] = len(s_rows) == len(d_rows)
         out["schema_match"] = sorted(s_cols) == sorted(d_cols)
+        # Typed-drift mirror (r5 blind spot): the driver's pandas
+        # canonicalization renders DuckDB DECIMAL/HUGEINT as float64 but
+        # Spark BIGINT as int64, so int-vs-float/decimal drift fails there
+        # even when the quantized strings below collapse (fn_map r5).
+        # fetchall() hides HUGEINT (returns int), so the oracle's declared
+        # Arrow schema is compared as well. Flag it FAIL.
+        from luxor_db_spark.parity import (
+            declared_class_drift,
+            numeric_class_drift,
+        )
+
+        drift = numeric_class_drift(s_cols, s_rows, d_cols, d_rows)
+        try:
+            arrow_schema = con.execute(oracle_sql).arrow().schema
+        except Exception:  # noqa: BLE001
+            arrow_schema = None
+        if arrow_schema is not None:
+            drift += declared_class_drift(sdf.schema, arrow_schema)
+        drift = sorted(set(drift))
+        if drift:
+            out["dtype_drift"] = drift
         sv = [tuple(_canon_cell(c) for c in r) for r in cs.itertuples(index=False)]
         dv = [tuple(_canon_cell(c) for c in r) for r in cd.itertuples(index=False)]
         sv.sort()
         dv.sort()
-        out["hash_match"] = sv == dv
+        out["hash_match"] = sv == dv and not drift
         if out["rows_match"] and out["schema_match"] and out["hash_match"]:
             out["status"] = "pass"
         else:
