@@ -5,7 +5,11 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is timed end-to-end (plan + execute + drain) on a warm session,
-median of 3 runs, matching BASELINE.md's measurement protocol.
+median of 5 runs, matching BASELINE.md's measurement protocol. The output
+carries the machine's 1-min load average sampled before and after the
+suite plus the run count: the r4→r5 cross-round comparison burned two
+diagnosis sessions on a +11% uniform drift that turned out to be machine
+load, which this metadata makes visible at a glance.
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ from luxor_db_spark.registry import ORACLES, load_all_queries  # noqa: E402
 from luxor_db_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = int(os.environ.get("LUXOR_BENCH_RUNS", "3"))
+RUNS = int(os.environ.get("LUXOR_BENCH_RUNS", "5"))
 
 # Headline set: one representative per SURVEY.md §2 category, weighted toward
 # the expensive shapes (multiway join, windows, knn, dedup).
@@ -89,6 +93,7 @@ def drain(df) -> int:
 def main() -> None:
     queries = load_all_queries()
     keys = [k for k in HEADLINE if k in queries]
+    load_before = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="luxor-db-spark-bench")
     # Warm the JVM + parquet footers with the cheapest key.
     queries[keys[0]](spark, SF_DIR).count()
@@ -120,6 +125,13 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_registered": len(queries),
                 "n_sql_oracles": len(ORACLES),
+                # Measurement metadata (r5 VERDICT ask #8): cross-round
+                # drift on unchanged keys is only signal if the machine
+                # was comparably loaded and the sample count is known.
+                "runs_per_query": RUNS,
+                "load_avg_before": load_before,
+                "load_avg_after": round(os.getloadavg()[0], 2),
+                "n_cpus": os.cpu_count(),
             }
         )
     )

@@ -702,9 +702,14 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: orders collapse to customer grain FIRST (map-combinable
     rollup — the only fact-table shuffle), and the nation lookup joins
-    the 100×-smaller entity rollup, not the order rows; the rank window
-    and both sums then partition by nation. No global window anywhere.
+    the 100×-smaller entity rollup, not the order rows. The rank is a
+    two-level prefix count (bucketed.two_level_cumsum over the strict
+    total order (x, cust)) rather than a window partitioned only by
+    |nation|=25 — r6 rewrite: the old shape sorted N/25 customers per
+    task regardless of cluster size.
     """
+    from luxor_db_spark.operators.bucketed import two_level_cumsum
+
     o = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
@@ -717,8 +722,9 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = per_cust.join(
         cust, per_cust.cust == cust.c_custkey
     ).select(F.col("c_nationkey").alias("nation"), "cust", "x")
-    w = Window.partitionBy("nation").orderBy("x", "cust")
-    rk = r.select("nation", "x", F.row_number().over(w).alias("i"))
+    rk = two_level_cumsum(
+        r, ["nation"], ["x", "cust"], F.lit(1).cast("bigint"), out="i"
+    ).select("nation", "x", "i")
     n = F.count(F.lit(1))
     six = F.sum(F.col("i") * F.col("x")).cast("double")
     sx = F.sum("x").cast("double")
@@ -985,35 +991,30 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the crossing point is found by integer comparison (cumw·2 ≥ totw —
     no division), ties pinned by (price, wt) order.
 
-    Scale shape: one (group) window sort computes the cumulative and the
-    total together; the crossing pick is a group-limit window on rows
-    already past the threshold. No buffering beyond the window sort.
+    Scale shape (r6 rewrite): the cumulative weight is a two-level prefix
+    sum (bucketed.two_level_cumsum) instead of a window partitioned only
+    by |o_orderpriority|=5; the group totals are a map-combinable 5-row
+    aggregate, broadcast. Tie argument for the pick: cumw rises along the
+    (price, wt) order, so the qualifying set is a SUFFIX of that order —
+    its minimum price is the first qualifying row's price no matter how
+    equal-(price, wt) rows interleave across range partitions, which is
+    why MIN(price) replaces the old rank-1 window exactly.
     """
+    from luxor_db_spark.operators.bucketed import two_level_cumsum
+
     o = load_table(spark, sf_dir, "orders")
     r = o.select(
         F.col("o_orderpriority").alias("grp"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
         (F.col("o_orderkey") % 5 + 1).cast("bigint").alias("wt"),
     )
-    wcum = (
-        Window.partitionBy("grp")
-        .orderBy("price", "wt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wall = Window.partitionBy("grp")
-    c = r.select(
-        "grp",
-        "price",
-        "wt",
-        F.sum("wt").over(wcum).alias("cumw"),
-        F.sum("wt").over(wall).alias("totw"),
-    )
-    wpick = Window.partitionBy("grp").orderBy("price", "wt")
-    pick = c.filter(F.col("cumw") * 2 >= F.col("totw")).select(
-        "grp", "price", F.row_number().over(wpick).alias("rn")
-    )
-    return pick.filter(F.col("rn") == 1).select(
-        "grp", F.col("price").cast("double").alias("weighted_median")
+    c = two_level_cumsum(r, ["grp"], ["price", "wt"], F.col("wt"), out="cumw")
+    tot = r.groupBy("grp").agg(F.sum("wt").alias("totw"))
+    return (
+        c.join(F.broadcast(tot), "grp")
+        .filter(F.col("cumw") * 2 >= F.col("totw"))
+        .groupBy("grp")
+        .agg(F.min("price").cast("double").alias("weighted_median"))
     )
 
 

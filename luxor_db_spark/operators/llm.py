@@ -2257,9 +2257,14 @@ def llm_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and both extreme picks tie-break on doc_id — fully reproducible, no
     float ranking.
 
-    Scale shape: one (lang, source) shuffle; both extremes come from the
-    same window sort (two ROW_NUMBERs over opposed orders share the
-    partition), then a self-join on the tiny group grain.
+    Scale shape (r6 rewrite): both extremes are MIN/MAX-of-struct
+    aggregates — lexicographic struct comparison encodes the tiebreak
+    (best = max(score, −doc_id): highest score, then lowest doc_id;
+    worst = min(score, doc_id)) — so the whole key is one map-side-
+    combinable groupBy with no window sort over doc rows and no self-join.
+    The previous form ranked every document inside |lang×source|≈25
+    window partitions: a constant parallelism cap and a full sort that
+    min/max never needed.
     """
     d = load_table(spark, sf_dir, "documents")
     score = (
@@ -2267,40 +2272,30 @@ def llm_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("n_chars")
     ).alias("score")
     s = d.select("doc_id", "lang", "source", score)
-    wb = Window.partitionBy("lang", "source").orderBy(
-        F.col("score").desc(), "doc_id"
+    best = F.max(
+        F.struct(
+            F.col("score").alias("score"),
+            (-F.col("doc_id")).alias("neg_id"),
+            F.col("doc_id").alias("d"),
+        )
     )
-    ww = Window.partitionBy("lang", "source").orderBy(
-        F.col("score").asc(), "doc_id"
+    worst = F.min(
+        F.struct(
+            F.col("score").alias("score"),
+            F.col("doc_id").alias("d"),
+        )
     )
-    r = s.select(
+    agg = s.groupBy("lang", "source").agg(best.alias("b"), worst.alias("w"))
+    bd = F.col("b").getField("d")
+    wd = F.col("w").getField("d")
+    return agg.filter(bd != wd).select(
         "lang",
         "source",
-        "doc_id",
-        "score",
-        F.row_number().over(wb).alias("rk_best"),
-        F.row_number().over(ww).alias("rk_worst"),
-    )
-    b = r.filter(F.col("rk_best") == 1).select(
-        "lang", "source",
-        F.col("doc_id").alias("chosen_doc_id"),
-        F.col("score").alias("bs"),
-    )
-    w = r.filter(F.col("rk_worst") == 1).select(
-        "lang", "source",
-        F.col("doc_id").alias("rejected_doc_id"),
-        F.col("score").alias("ws"),
-    )
-    return (
-        b.join(w, ["lang", "source"])
-        .filter(F.col("chosen_doc_id") != F.col("rejected_doc_id"))
-        .select(
-            "lang",
-            "source",
-            "chosen_doc_id",
-            "rejected_doc_id",
-            (F.col("bs") - F.col("ws")).cast("bigint").alias("score_gap"),
-        )
+        bd.alias("chosen_doc_id"),
+        wd.alias("rejected_doc_id"),
+        (F.col("b").getField("score") - F.col("w").getField("score"))
+        .cast("bigint")
+        .alias("score_gap"),
     )
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from luxor_db_spark.catalog import load_table
@@ -52,13 +53,33 @@ def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-ledger rewrite (r6): RANK/DENSE_RANK over (flag | quantity)
+    depend only on the (l_returnflag, l_quantity) pair, and l_quantity has
+    a bounded domain (TPC-H: 1..50), so instead of sorting raw lineitem
+    rows inside |l_returnflag|=3 window partitions (parallelism capped at
+    3, each task sorting N/3 rows at 100×), aggregate a ≤3×50-row value
+    ledger (map-combinable count), compute both ranks with a window over
+    the LEDGER only, and broadcast-join the ranks back to the rows —
+    a map-only pass over the fact table. RANK = 1 + exclusive prefix count
+    of smaller values; DENSE_RANK = the value's index in the sorted
+    distinct list. Ties need no tiebreak: both functions are tie-stable.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+    cnts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    wled = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wprev = wled.rowsBetween(Window.unboundedPreceding, -1)
+    led = cnts.select(
+        "l_returnflag",
+        "l_quantity",
+        (F.coalesce(F.sum("_cnt").over(wprev), F.lit(0)) + 1)
+        .cast("int")
+        .alias("rnk"),
+        F.row_number().over(wled).alias("drnk"),
+    )
+    return li.join(broadcast(led), ["l_returnflag", "l_quantity"]).select(
+        "l_orderkey", "l_linenumber", "rnk", "drnk"
     )
 
 
@@ -147,14 +168,34 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw (unrounded) on purpose: both engines compute the same integer
     ratio (rank-1)/(n-1) as one double division → bit-identical, while
-    ROUND could land on an exact tie (e.g. rank/n = 0.00005)."""
+    ROUND could land on an exact tie (e.g. rank/n = 0.00005).
+
+    Value-ledger rewrite (r6, same recipe as win_rank_dense): PERCENT_RANK
+    and CUME_DIST over (flag | quantity) are pure functions of the
+    ≤3×50-row (l_returnflag, l_quantity) count ledger — (rank−1)/(n−1) and
+    (inclusive prefix)/n from the same integers Spark's window would use,
+    so the double divisions are bit-identical. No raw-row window: the fact
+    table sees one map-combinable count and one broadcast join back.
+    PERCENT_RANK of a 1-row partition is 0 by definition (guarded)."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
+    cnts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    wled = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wprev = wled.rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy("l_returnflag")
+    pre = F.coalesce(F.sum("_cnt").over(wprev), F.lit(0))
+    n = F.sum("_cnt").over(wall)
+    led = cnts.select(
+        "l_returnflag",
+        "l_quantity",
+        F.when(n > 1, pre.cast("double") / (n - 1).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
+        ((pre + F.col("_cnt")).cast("double") / n.cast("double")).alias("cd"),
+    )
+    return li.join(broadcast(led), ["l_returnflag", "l_quantity"]).select(
+        "l_orderkey", "l_linenumber", "pr", "cd"
     )
 
 
@@ -285,18 +326,36 @@ def win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame: value-based bounds over the numeric order key."""
+    """RANGE frame: value-based bounds over the numeric order key.
+
+    Value-ledger rewrite (r6, same recipe as win_rank_dense): the RANGE
+    [q−5, q] count depends only on (l_returnflag, l_quantity), so compute
+    it with a self-join of the ≤3×50-row count ledger (every pair of
+    distinct values within the range band) and broadcast the per-value
+    answers back to the rows — the raw fact table is never sorted or
+    windowed."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_quantity")
-        .rangeBetween(-5, Window.currentRow)
+    cnts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("_cnt")
     )
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_quantity",
-        F.count(F.lit(1)).over(w).alias("n_within5"),
+    a, b = cnts.alias("a"), cnts.alias("b")
+    led = (
+        a.join(
+            broadcast(b),
+            (F.col("a.l_returnflag") == F.col("b.l_returnflag"))
+            & (F.col("b.l_quantity") >= F.col("a.l_quantity") - 5)
+            & (F.col("b.l_quantity") <= F.col("a.l_quantity")),
+        )
+        .groupBy("a.l_returnflag", "a.l_quantity")
+        .agg(F.sum("b._cnt").alias("n_within5"))
+        .select(
+            F.col("a.l_returnflag").alias("l_returnflag"),
+            F.col("a.l_quantity").alias("l_quantity"),
+            "n_within5",
+        )
+    )
+    return li.join(broadcast(led), ["l_returnflag", "l_quantity"]).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "n_within5"
     )
 
 
@@ -805,10 +864,11 @@ def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: both denominators are exact DECIMAL window sums
     (order-independent); each share is one double division, ROUND 4.
 
-    Scale shape: the group share reuses the (grp) partition; the grand
-    total is an unpartitioned window over a BOUNDED slice here — on full
-    data, compute the 1-row total separately and broadcast it (the
-    win_pareto offsets pattern) instead of a global window.
+    Scale shape (r6 rewrite): both denominators are unordered sums — no
+    window (hence no sort) is needed at all. The |grp|=5 group totals and
+    the 1-row grand total are map-combinable aggregates broadcast back
+    onto the rows, so the full-data form is a single map pass; the old
+    form's unpartitioned window collapsed the slice into one task.
     """
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
     r = o.select(
@@ -816,17 +876,21 @@ def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
     )
-    wg = Window.partitionBy("grp")
-    wall = Window.partitionBy()
+    gtot = r.groupBy("grp").agg(F.sum("price").alias("gsum"))
+    tot = r.agg(F.sum("price").alias("asum"))
     pd_ = F.col("price").cast("double")
-    return r.select(
-        "grp",
-        "o_orderkey",
-        pd_.alias("price"),
-        q4(
-            pd_ / F.sum("price").over(wg).cast("double") * 100
-        ).alias("pct_of_group"),
-        q4(
-            pd_ / F.sum("price").over(wall).cast("double") * 100
-        ).alias("pct_of_total"),
+    return (
+        r.join(broadcast(gtot), "grp")
+        .crossJoin(broadcast(tot))
+        .select(
+            "grp",
+            "o_orderkey",
+            pd_.alias("price"),
+            q4(pd_ / F.col("gsum").cast("double") * 100).alias(
+                "pct_of_group"
+            ),
+            q4(pd_ / F.col("asum").cast("double") * 100).alias(
+                "pct_of_total"
+            ),
+        )
     )

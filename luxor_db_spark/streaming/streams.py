@@ -466,6 +466,13 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for f in os.listdir(p)
                 if f.endswith(".parquet") and not f.startswith((".", "_"))
             )
+            if not parts:
+                raise FileNotFoundError(
+                    f"events fixture directory {p!r} contains no top-level "
+                    f"*.parquet part files (nested subdirectories are not "
+                    f"searched) — expected either a single events.parquet "
+                    f"file or a flat Spark-written directory of part files"
+                )
             for i, f in enumerate(parts):
                 shutil.copyfile(os.path.join(p, f), f"{stem}_{i}.parquet")
             return f"{stem}_0.parquet"

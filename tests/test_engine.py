@@ -346,8 +346,10 @@ def test_broadcast_hints_only_on_constant_grain_sides():
     from pathlib import Path
 
     allowed = {
-        "aggregates.py": {"sk", "total"},  # CMS sketch <=4x256; 1-row total
-        "bucketed.py": {"ledger", "tgt"},  # per-bucket count ledgers
+        # CMS sketch <=4x256; 1-row total; weighted-median |grp|=5 totals
+        "aggregates.py": {"sk", "total", "tot"},
+        # per-bucket count ledgers; two_level_cumsum <=npart pid offsets
+        "bucketed.py": {"ledger", "tgt", "off"},
         "graph.py": {"contrib", "outw", "r"},  # <=|nations| iteration grain
         "joins.py": {"b", "dim", "r", "t.nation", "t.region"},  # bounded dims/buckets
         "llm.py": {
@@ -361,7 +363,10 @@ def test_broadcast_hints_only_on_constant_grain_sides():
             "z",  # 1-row bounds
         },
         "scans.py": {"n_s"},  # per-status counts (|statuses|)
-        "windows.py": {"off", "tot"},  # ntile: <=npart pid offsets; 1-row total
+        # ntile: <=npart pid offsets; 1-row totals; value ledgers over the
+        # bounded l_quantity domain (<=|flags|x50 rows, see win_rank_dense);
+        # percent-of-total |grp|=5 group sums
+        "windows.py": {"off", "tot", "led", "b", "gtot"},
 
         "timeseries.py": {
             "base", "g", "mad", "med", "off", "prof", "stats", "tot",
@@ -386,4 +391,97 @@ def test_broadcast_hints_only_on_constant_grain_sides():
     assert not violations, (
         "unreviewed broadcast() hint(s) — verify the side is constant-grain "
         f"and add to the ledger, or leave it to AQE: {violations}"
+    )
+
+
+def test_no_unreviewed_constant_cardinality_window_partitions():
+    """Window-shape doctrine (r5 VERDICT #7, docs/SCALE.md 'which window
+    shape to use'): ``Window.partitionBy(<constant-cardinality cols>)``
+    caps parallelism at the key domain's size (|event_type|=5,
+    |l_returnflag|=3 ...) and sorts N/|domain| rows per task at any scale.
+    Every such site must either window over a BOUNDED grain (a prior
+    aggregate whose row count doesn't grow with the fact tables) or route
+    through operators/bucketed.py (halo buckets / two_level_cumsum /
+    value ledgers). This lint fails on a NEW constant-key window until its
+    grain is reviewed and the site is added to the ledger below with its
+    justification class."""
+    import ast
+    from pathlib import Path
+
+    # Columns whose domains are constant in the scale factor.
+    const_cols = {
+        "event_type", "l_returnflag", "l_linestatus", "o_orderstatus",
+        "lang", "source", "label", "r_name", "n_name", "nation",
+        "region", "grp",
+    }
+    # function name -> justification class. Classes:
+    #   hourly-grain  — input is a (key, hour/day) rollup: row count is
+    #                   granularity-bounded, not fact-bounded
+    #   vocab-grain   — input is a (key, term) dictionary aggregate
+    #   value-ledger  — input is the bounded-domain value ledger
+    #                   (win_rank_dense recipe, <=|flags|x50 rows)
+    #   bucket-reduce — the per-bucket offset pass of the bucketed.py
+    #                   two-level pattern (one row per bucket)
+    allowed = {
+        "ts_interpolate": "hourly-grain",
+        "ts_ewma": "hourly-grain",
+        "ts_acf": "hourly-grain",
+        "ts_burst_detect": "hourly-grain",
+        "ts_wow_change": "hourly-grain (daily)",
+        "win_drawdown": "hourly-grain",
+        "win_max_concurrent": "bucket-reduce",
+        "llm_tfidf_topterms": "vocab-grain",
+        "llm_langid": "vocab-grain",
+        "win_rank_dense": "value-ledger",
+        "win_percent": "value-ledger",
+    }
+    root = Path(__file__).resolve().parent.parent / "luxor_db_spark"
+    violations = []
+    for path in sorted(root.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        funcs = [
+            n
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+
+        def enclosing(lineno):
+            best = None
+            for f in funcs:
+                if f.lineno <= lineno <= (f.end_lineno or f.lineno) and (
+                    best is None or f.lineno > best.lineno
+                ):
+                    best = f
+            return best.name if best else "<module>"
+
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "partitionBy"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "Window"
+                and node.args
+            ):
+                continue
+            lits = [
+                a.value
+                for a in node.args
+                if isinstance(a, ast.Constant) and isinstance(a.value, str)
+            ]
+            # Any non-literal arg (a bucket expression, *part_cols, a pid)
+            # or any literal outside the constant-domain set means the key
+            # set grows with the data - not this lint's concern.
+            if len(lits) != len(node.args) or not all(
+                c in const_cols for c in lits
+            ):
+                continue
+            fn = enclosing(node.lineno)
+            if fn not in allowed:
+                violations.append(f"{path.name}:{node.lineno} {fn} {lits}")
+    assert not violations, (
+        "constant-cardinality Window.partitionBy over an unreviewed grain "
+        "— window a bounded aggregate, or route through bucketed.py "
+        "(with_trailing_halo / two_level_cumsum / a value ledger), then "
+        f"add the function to this lint's ledger: {violations}"
     )

@@ -256,17 +256,31 @@ def main(argv: list[str]) -> int:
     factors = [1, 2, 4, 8]
     force = "--rebuild" in argv
     argv = [a for a in argv if a != "--rebuild"]
-    if "--factors" in argv:
-        i = argv.index("--factors")
+    def _operand(flag: str) -> str | None:
+        """Value after ``flag``, with a usage error on a bare trailing flag
+        (previously an IndexError crash)."""
+        if flag not in argv:
+            return None
+        i = argv.index(flag)
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print(f"usage: {flag} <value>", file=sys.stderr)
+            raise SystemExit(2)
+        val = argv[i + 1]
+        del argv[i : i + 2]
+        return val
+
+    fstr = _operand("--factors")
+    if fstr is not None:
         # Ascending + deduped: the slope fit is order-independent but the
         # consecutive-pair inversion check is not.
-        factors = sorted({int(x) for x in argv[i + 1].split(",")})
-        argv = argv[:i] + argv[i + 2 :]
-    ledger_path = None
-    if "--ledger" in argv:
-        i = argv.index("--ledger")
-        ledger_path = argv[i + 1]
-        argv = argv[:i] + argv[i + 2 :]
+        try:
+            factors = sorted({int(x) for x in fstr.split(",")})
+        except ValueError:
+            print("usage: --factors 1,4,16", file=sys.stderr)
+            return 2
+    ledger_path = _operand("--ledger")
+    merge = "--merge" in argv
+    argv = [a for a in argv if a != "--merge"]
     run_all = "--all" in argv
     argv = [a for a in argv if a != "--all"]
     queries = load_all_queries()
@@ -349,18 +363,43 @@ def main(argv: list[str]) -> int:
     }
     print(json.dumps(summary))
     if ledger_path:
+        curves = {
+            k: {
+                **v,
+                "times": {str(f): t for f, t in v["times"].items()},
+            }
+            for k, v in results.items()
+        }
+        meta = summary
+        if merge and os.path.exists(ledger_path):
+            # --merge preserves the curated ledger (hand-annotated notes,
+            # warm re-measured rows): an existing per-key entry is only
+            # replaced when the fresh run is FASTER at its largest common
+            # factor (i.e. warmer, not a cold-start artifact); replaced
+            # and new entries get a runs counter.
+            with open(ledger_path) as fh:
+                old = json.load(fh)
+            merged = dict(old.get("curves", {}))
+            for k, new in curves.items():
+                prev = merged.get(k)
+                if prev is None:
+                    merged[k] = {**new, "runs": 1}
+                    continue
+                common = sorted(
+                    set(prev.get("times", {})) & set(new["times"]), key=int
+                )
+                runs = int(prev.get("runs", 1)) + 1
+                if common and new["times"][common[-1]] < prev["times"].get(
+                    common[-1], float("inf")
+                ):
+                    merged[k] = {**new, "runs": runs}
+                else:
+                    merged[k] = {**prev, "runs": runs}
+            curves = merged
+            meta = {**old.get("meta", {}), "last_merge": summary}
         with open(ledger_path, "w") as fh:
             json.dump(
-                {
-                    "meta": summary,
-                    "curves": {
-                        k: {
-                            **v,
-                            "times": {str(f): t for f, t in v["times"].items()},
-                        }
-                        for k, v in results.items()
-                    },
-                },
+                {"meta": meta, "curves": curves},
                 fh,
                 indent=1,
                 sort_keys=True,
