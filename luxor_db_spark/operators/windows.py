@@ -338,21 +338,18 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnts = li.groupBy("l_returnflag", "l_quantity").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
-    a, b = cnts.alias("a"), cnts.alias("b")
-    led = (
-        a.join(
-            broadcast(b),
-            (F.col("a.l_returnflag") == F.col("b.l_returnflag"))
-            & (F.col("b.l_quantity") >= F.col("a.l_quantity") - 5)
-            & (F.col("b.l_quantity") <= F.col("a.l_quantity")),
-        )
-        .groupBy("a.l_returnflag", "a.l_quantity")
-        .agg(F.sum("b._cnt").alias("n_within5"))
-        .select(
-            F.col("a.l_returnflag").alias("l_returnflag"),
-            F.col("a.l_quantity").alias("l_quantity"),
-            "n_within5",
-        )
+    # The SAME range frame, evaluated over the ledger instead of the rows:
+    # summing per-value counts within [q-5, q] gives each distinct value's
+    # answer in one pass over <=150 rows (one fact scan, not three).
+    wrange = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rangeBetween(-5, Window.currentRow)
+    )
+    led = cnts.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("_cnt").over(wrange).alias("n_within5"),
     )
     return li.join(broadcast(led), ["l_returnflag", "l_quantity"]).select(
         "l_orderkey", "l_linenumber", "l_quantity", "n_within5"
@@ -876,8 +873,13 @@ def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
     )
-    gtot = r.groupBy("grp").agg(F.sum("price").alias("gsum"))
-    tot = r.agg(F.sum("price").alias("asum"))
+    # persist() pins the 5-row group-sum table across its two readers
+    # (the row join and the grand-total fold) so orders is scanned once
+    # for it, not re-derived per branch.
+    gtot = r.groupBy("grp").agg(F.sum("price").alias("gsum")).persist()
+    # Grand total from the 5 group sums (exact DECIMAL, order-independent)
+    # — no second pass over the rows.
+    tot = gtot.agg(F.sum("gsum").alias("asum"))
     pd_ = F.col("price").cast("double")
     return (
         r.join(broadcast(gtot), "grp")

@@ -434,6 +434,7 @@ def test_no_unreviewed_constant_cardinality_window_partitions():
         "llm_langid": "vocab-grain",
         "win_rank_dense": "value-ledger",
         "win_percent": "value-ledger",
+        "win_range_frame": "value-ledger",
     }
     root = Path(__file__).resolve().parent.parent / "luxor_db_spark"
     violations = []

@@ -319,6 +319,83 @@ def test_bucket_offsets_reconstruct_global_running_sum(spark, sizes):
 
 
 @given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),  # constant-cardinality part key
+            st.integers(min_value=0, max_value=8),  # tie-heavy order key
+            st.integers(min_value=-50, max_value=50),  # summed value
+        ),
+        max_size=60,
+    ),
+    npart=st.integers(min_value=1, max_value=7),
+)
+@settings(**SETTINGS)
+def test_two_level_cumsum_matches_global_window(spark, rows, npart):
+    """two_level_cumsum (the distributed prefix-sum behind agg_gini /
+    agg_weighted_median / win_ntile's recipe) must agree with the global
+    single-partition window on every TIE-INSENSITIVE readout, for any
+    partition count and any tie pattern:
+
+    - with a STRICT total order (tie-broken by a unique id), per-row
+      cumulative sums must match the global window exactly;
+    - with ties left in (the agg_weighted_median shape), the per-ORDER-KEY
+      maximum cumulative sum must match (tied rows may interleave
+      differently across range partitions, but each tie group's total —
+      hence the running sum at the group boundary — is order-independent).
+    """
+    from luxor_db_spark.operators.bucketed import two_level_cumsum
+
+    if not rows:
+        return
+    data = [(g, k, v, i) for i, (g, k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "grp string, k long, v long, id long")
+
+    # Strict order: (k, id) is unique.
+    glob = (
+        Window.partitionBy("grp")
+        .orderBy("k", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r.grp, r.id, r.c)
+        for r in df.select(
+            "grp", "id", F.sum("v").over(glob).alias("c")
+        ).collect()
+    }
+    got = {
+        (r.grp, r.id, r.c)
+        for r in two_level_cumsum(
+            df, ["grp"], ["k", "id"], F.col("v"), out="c", npart=npart
+        ).collect()
+    }
+    assert got == want
+
+    # Tied order: only the per-(grp, k) boundary cumsum is contractual.
+    globk = (
+        Window.partitionBy("grp")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want_b = {
+        (r.grp, r.k, r.m)
+        for r in df.select("grp", "k", F.sum("v").over(globk).alias("c"))
+        .groupBy("grp", "k")
+        .agg(F.max("c").alias("m"))
+        .collect()
+    }
+    got_b = {
+        (r.grp, r.k, r.m)
+        for r in two_level_cumsum(
+            df, ["grp"], ["k"], F.col("v"), out="c", npart=npart
+        )
+        .groupBy("grp", "k")
+        .agg(F.max("c").alias("m"))
+        .collect()
+    }
+    assert got_b == want_b
+
+
+@given(
     num=st.integers(min_value=-10_000_000, max_value=10_000_000),
     den=st.integers(min_value=1, max_value=200_000),
 )
