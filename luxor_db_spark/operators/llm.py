@@ -284,7 +284,9 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18
     )
-    feat = tf.transform(d).select("doc_id", "features")
+    # persist(): feat is read three times (fit + both approxSimilarityJoin
+    # sides); without the pin each reader re-shingles the whole corpus.
+    feat = tf.transform(d).select("doc_id", "features").persist()
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     )
