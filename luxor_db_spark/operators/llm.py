@@ -1298,16 +1298,26 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint truncates lineage so round N's plan doesn't replay
     rounds 1..N-1. Oracle: DuckDB recursive-CTE transitive closure of the
     same edge set.
+
+    r6: iterate over GRAPH NODES only. A document outside the near-dup
+    edge set can never change its label (its component is its own id),
+    so the per-round frames are |V(graph)| = O(pair count) rows — the
+    sparse near-dup graph, not the corpus. The corpus-sized table is
+    touched exactly once, by the final left join that fills in the
+    isolated documents.
     """
     pairs = llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
     und = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnsRenamed({"doc_a": "node", "doc_b": "nbr"})
-
-    d = load_table(spark, sf_dir, "documents")
-    labels = d.select("doc_id", F.col("doc_id").alias("component"))
-    labels = labels.localCheckpoint(eager=True)
     und = und.localCheckpoint(eager=True)
+
+    labels = (
+        und.select(F.col("node").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(20):  # >= diameter of any near-dup cluster here
         nbr_min = (
@@ -1334,7 +1344,12 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new
         if changed == 0:
             break
-    return labels.select("doc_id", F.col("component").cast("bigint").alias("component"))
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").cast("bigint").alias("component"),
+    )
 
 
 _PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
