@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Strong-scaling measurement: FIXED input, varying core count.
+
+`tools/scale_curve.py` answers "does wall time stay ~linear as the DATA
+grows?" — this tool answers the complementary cluster question: "does
+wall time FALL as CORES grow?" A key whose plan serializes through a
+handful of tasks (the constant-cardinality window shape the r6 rewrites
+removed) is flat here no matter how clean its data-scaling slope looks,
+because the same few tasks do all the work at every core count.
+
+Method: for each requested core count C, a fresh subprocess builds a
+`local[C]` session with `spark.sql.shuffle.partitions = C` (a new JVM
+per C — Spark masters can't change in-process) and times each key
+(median of LUXOR_SCALE_RUNS, default 3, after a warm-up) on the ×4
+amplified fixtures from scale_curve's builder (big enough that task
+startup doesn't dominate at 32 cores). The parent aggregates speedup =
+t(min_cores) / t(max_cores) and flags keys below SPEEDUP_FLAG whose
+max-core time is still ≥ T_MIN seconds — small keys are exempt because
+a 0.3 s query measures session overhead, not scaling.
+
+Usage:
+    python tools/strong_scale.py                      # default key set
+    python tools/strong_scale.py k1 k2 ...            # specific keys
+    python tools/strong_scale.py --cores 4,16,32      # core counts
+    python tools/strong_scale.py --ledger docs/strong_scale.json
+    (internal) --worker --master local[N] --dir D k1 k2 ...
+
+Prints one JSON line per key and a final summary line; exits 1 on flags.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SPEEDUP_FLAG = 1.6  # min t(low)/t(high) before a key is called flat
+T_MIN = 2.0  # seconds at max cores below which flatness is noise: a query
+# whose 32-core time sits near the per-job fixed overhead (~0.3-0.5 s
+# scheduling + Python driver round-trips on this box) measures that
+# overhead, not parallel work — the x4 pilot run flagged flagship_q1 at
+# 1.2 s for exactly this reason, while the x16 fixture separates the two.
+RUNS = int(os.environ.get("LUXOR_SCALE_RUNS", "3"))
+FACTOR = int(os.environ.get("LUXOR_STRONG_FACTOR", "16"))  # fixture size:
+# big enough that parallel work dominates fixed overhead at max cores
+
+# The de-weakened keys (should now scale with cores), their old shapes'
+# stand-ins, and a few always-parallel controls.
+DEFAULT_KEYS = [
+    "win_rank_dense",
+    "win_percent",
+    "win_range_frame",
+    "win_ntile",
+    "agg_gini",
+    "agg_weighted_median",
+    "llm_dpo_pairs",
+    "win_moving_median",
+    "flagship_q1",
+    "join_multiway",
+    "llm_dedup_exact",
+    "llm_tokenize",
+]
+
+
+def worker(master: str, sf_dir: str, keys: list[str]) -> int:
+    """Child process: one session at the requested core count, time keys."""
+    cores = master.split("[")[1].rstrip("]")
+    from luxor_db_spark.registry import load_all_queries
+    from luxor_db_spark.session import get_spark
+
+    queries = load_all_queries()
+    spark = get_spark(
+        app_name=f"luxor-strong-scale-{cores}",
+        master=master,
+        shuffle_partitions=int(cores),
+    )
+    # Warm JVM + parquet footers.
+    queries[keys[0]](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out = {}
+    for key in keys:
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            queries[key](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples.append(time.perf_counter() - t0)
+        out[key] = round(statistics.median(samples), 3)
+    print("WORKER_RESULT " + json.dumps(out), flush=True)
+    return 0
+
+
+def main(argv: list[str]) -> int:
+    if "--worker" in argv:
+        i = argv.index("--master")
+        master = argv[i + 1]
+        j = argv.index("--dir")
+        sf_dir = argv[j + 1]
+        keys = [
+            a
+            for a in argv
+            if not a.startswith("--") and a not in (master, sf_dir)
+        ]
+        return worker(master, sf_dir, keys)
+
+    cores = [4, 16, 32]
+    if "--cores" in argv:
+        i = argv.index("--cores")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print("usage: --cores 4,16,32", file=sys.stderr)
+            return 2
+        cores = sorted({int(x) for x in argv[i + 1].split(",")})
+        del argv[i : i + 2]
+    ledger_path = None
+    if "--ledger" in argv:
+        i = argv.index("--ledger")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print("usage: --ledger <path>", file=sys.stderr)
+            return 2
+        ledger_path = argv[i + 1]
+        del argv[i : i + 2]
+    keys = [a for a in argv if not a.startswith("-")] or DEFAULT_KEYS
+
+    from luxor_db_spark.registry import load_all_queries
+
+    queries = load_all_queries()
+    unknown = [k for k in keys if k not in queries]
+    if unknown:
+        print(f"unknown keys: {unknown}", file=sys.stderr)
+        return 2
+
+    factor = FACTOR
+    if "--factor" in argv:
+        i = argv.index("--factor")
+        if i + 1 >= len(argv) or not argv[i + 1].isdigit():
+            print("usage: --factor <n>", file=sys.stderr)
+            return 2
+        factor = int(argv[i + 1])
+        del argv[i : i + 2]
+        keys = [a for a in argv if not a.startswith("-")] or DEFAULT_KEYS
+
+    # Build the amplified fixture once, with a throwaway session.
+    from luxor_db_spark.session import get_spark
+    from tools.scale_curve import build_amplified
+
+    spark = get_spark(app_name="luxor-strong-scale-build")
+    sf_dir = build_amplified(spark, factor)
+    spark.stop()
+
+    per_cores: dict[int, dict[str, float]] = {}
+    for c in cores:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--worker",
+                "--master",
+                f"local[{c}]",
+                "--dir",
+                sf_dir,
+                *keys,
+            ],
+            capture_output=True,
+            text=True,
+        )
+        line = next(
+            (
+                ln
+                for ln in proc.stdout.splitlines()
+                if ln.startswith("WORKER_RESULT ")
+            ),
+            None,
+        )
+        if proc.returncode != 0 or line is None:
+            print(
+                f"worker local[{c}] failed:\n{proc.stderr[-2000:]}",
+                file=sys.stderr,
+            )
+            return 1
+        per_cores[c] = json.loads(line[len("WORKER_RESULT ") :])
+
+    lo, hi = cores[0], cores[-1]
+    flagged = []
+    results = {}
+    for key in keys:
+        times = {c: per_cores[c][key] for c in cores}
+        speedup = round(times[lo] / max(times[hi], 1e-6), 2)
+        flat = speedup < SPEEDUP_FLAG and times[hi] >= T_MIN
+        if flat:
+            flagged.append(key)
+        results[key] = {
+            "times_s": {str(c): t for c, t in times.items()},
+            "speedup": speedup,
+            "flag": flat,
+        }
+        print(json.dumps({"key": key, **results[key]}), flush=True)
+
+    summary = {
+        "summary": "strong_scale",
+        "fixture": sf_dir,
+        "factor": factor,
+        "cores": cores,
+        "runs": RUNS,
+        "speedup_flag_below": SPEEDUP_FLAG,
+        "t_min": T_MIN,
+        "flagged_flat": flagged,
+    }
+    print(json.dumps(summary))
+    if ledger_path:
+        with open(ledger_path, "w") as fh:
+            json.dump(
+                {"meta": summary, "curves": results},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
