@@ -49,6 +49,19 @@ RUNS = int(os.environ.get("LUXOR_SCALE_RUNS", "3"))
 FACTOR = int(os.environ.get("LUXOR_STRONG_FACTOR", "16"))  # fixture size:
 # big enough that parallel work dominates fixed overhead at max cores
 
+# Keys whose flatness is ANALYZED, not a bug: reason must name the
+# bounded grain that makes core count irrelevant (mirrors scale_curve's
+# EXPECTED_INVERSIONS). They still print, with flag true, but don't fail
+# the run.
+EXPECTED_FLAT = {
+    "graph_pagerank": (
+        "iteration grain is |nations|^2 <= 625 edge rows (broadcast "
+        "joins, AQE-coalesced aggs); only the edge DERIVATION scales "
+        "with data/cores and the persist pins it to one pass - extra "
+        "cores only add per-round task overhead to the tiny iterate"
+    ),
+}
+
 # The de-weakened keys (should now scale with cores), their old shapes'
 # stand-ins, and a few always-parallel controls.
 DEFAULT_KEYS = [
@@ -126,6 +139,8 @@ def main(argv: list[str]) -> int:
             return 2
         ledger_path = argv[i + 1]
         del argv[i : i + 2]
+    merge = "--merge" in argv
+    argv = [a for a in argv if a != "--merge"]
     keys = [a for a in argv if not a.startswith("-")] or DEFAULT_KEYS
 
     from luxor_db_spark.registry import load_all_queries
@@ -193,7 +208,7 @@ def main(argv: list[str]) -> int:
         times = {c: per_cores[c][key] for c in cores}
         speedup = round(times[lo] / max(times[hi], 1e-6), 2)
         flat = speedup < SPEEDUP_FLAG and times[hi] >= T_MIN
-        if flat:
+        if flat and key not in EXPECTED_FLAT:
             flagged.append(key)
         results[key] = {
             "times_s": {str(c): t for c, t in times.items()},
@@ -211,9 +226,17 @@ def main(argv: list[str]) -> int:
         "speedup_flag_below": SPEEDUP_FLAG,
         "t_min": T_MIN,
         "flagged_flat": flagged,
+        "expected_flat": sorted(
+            k for k in keys if k in EXPECTED_FLAT and results[k]["flag"]
+        ),
     }
     print(json.dumps(summary))
     if ledger_path:
+        if merge and os.path.exists(ledger_path):
+            with open(ledger_path) as fh:
+                old = json.load(fh)
+            results = {**old.get("curves", {}), **results}
+            summary = {**old.get("meta", {}), "last_merge": summary}
         with open(ledger_path, "w") as fh:
             json.dump(
                 {"meta": summary, "curves": results},
