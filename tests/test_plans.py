@@ -621,3 +621,66 @@ def test_ntile_rank_is_range_partitioned(audit):
             f"window over o_totalprice not partitioned by pid (single-task "
             f"global ntile reintroduced): windowspecdefinition({s}"
         )
+
+
+def test_value_ledger_windows_never_sort_fact_rows(audit):
+    """r6 value-ledger rewrites (win_rank_dense / win_percent /
+    win_range_frame): every window in the plan must run over the
+    (l_returnflag, l_quantity) COUNT LEDGER — i.e. downstream of a
+    hash aggregate — and the per-row answers must come back through a
+    broadcast join. A windowspecdefinition consuming raw lineitem
+    attributes (l_orderkey present in its child) would mean the
+    fact-table sort crept back in."""
+    import re
+
+    for key in ("win_rank_dense", "win_percent", "win_range_frame"):
+        a = audit(key)
+        assert re.search(
+            r"Keys \[2\]: \[l_returnflag#\d+, l_quantity#\d+\]", a.text
+        ), f"{key}: value ledger aggregate missing"
+        a.assert_broadcasts(at_least=1)
+        a.assert_no_cartesian()
+
+
+def test_dpo_pairs_is_window_free(audit):
+    """llm_dpo_pairs (r6): both extremes are min/max-of-struct aggregates;
+    a windowspecdefinition reappearing means the per-group sort is back."""
+    a = audit("llm_dpo_pairs")
+    assert "windowspecdefinition" not in a.text, (
+        "llm_dpo_pairs must not window-sort documents - extremes are "
+        "min/max-of-struct aggregates"
+    )
+    a.assert_no_cartesian()
+
+
+def test_percent_of_total_is_window_free(audit):
+    """win_percent_of_total (r6): unordered sums need no window at all —
+    group + grand totals broadcast back onto the rows."""
+    a = audit("win_percent_of_total")
+    assert "windowspecdefinition" not in a.text, (
+        "win_percent_of_total must use broadcast totals, not windows"
+    )
+    a.assert_broadcasts(at_least=2)
+
+
+def test_gini_and_weighted_median_rank_via_range_partition(audit):
+    """agg_gini / agg_weighted_median (r6): the rank / cumulative weight
+    must be the two_level_cumsum shape — a range partitioning on
+    (part, order) with the running window keyed by the partition id —
+    never a window partitioned only by the constant-cardinality group."""
+    import re
+
+    for key, range_sig in (
+        ("agg_gini", "rangepartitioning(nation"),
+        ("agg_weighted_median", "rangepartitioning(grp"),
+    ):
+        a = audit(key)
+        assert range_sig in a.text, f"{key}: expected {range_sig} in plan"
+        specs = re.findall(r"windowspecdefinition\(([^)]*)", a.text)
+        assert specs, f"{key}: expected the local running window"
+        for s in specs:
+            assert "_pid#" in s or s.lstrip().startswith("_pid"), (
+                f"{key}: window not keyed by the range-partition id "
+                f"(constant-partition sort reintroduced): "
+                f"windowspecdefinition({s}"
+            )
