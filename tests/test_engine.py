@@ -404,7 +404,13 @@ def test_no_unreviewed_constant_cardinality_window_partitions():
     through operators/bucketed.py (halo buckets / two_level_cumsum /
     value ledgers). This lint fails on a NEW constant-key window until its
     grain is reviewed and the site is added to the ledger below with its
-    justification class."""
+    justification class.
+
+    Boundary: only the Python Window API is scanned. OVER (PARTITION BY
+    ...) inside SQL strings is not — today every Spark-side SQL window
+    either partitions by a growing key (user_id/o_custkey) or runs at
+    hourly/daily rollup grain, and oracle strings (DuckDB-side) are out
+    of scope; re-audit if a fact-grain spark.sql window is added."""
     import ast
     from pathlib import Path
 

@@ -62,8 +62,8 @@ EXPECTED_FLAT = {
     ),
 }
 
-# The de-weakened keys (should now scale with cores), their old shapes'
-# stand-ins, and a few always-parallel controls.
+# The de-weakened keys (should now scale with cores), the heavy
+# join/stream/dedup/retrieval shapes, and a few always-parallel controls.
 DEFAULT_KEYS = [
     "win_rank_dense",
     "win_percent",
@@ -77,6 +77,15 @@ DEFAULT_KEYS = [
     "join_multiway",
     "llm_dedup_exact",
     "llm_tokenize",
+    "llm_dedup_near",
+    "llm_minhash_lsh",
+    "llm_knn_join",
+    "join_skew_salted",
+    "stream_stateful",
+    "query_q21",
+    "agg_countmin",
+    "profile_table",
+    "graph_pagerank",
 ]
 
 
