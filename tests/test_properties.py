@@ -396,6 +396,65 @@ def test_two_level_cumsum_matches_global_window(spark, rows, npart):
 
 
 @given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),  # flag
+            st.integers(min_value=1, max_value=9),  # tie-heavy value
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+)
+@settings(**SETTINGS)
+def test_value_ledger_formulas_match_window_functions(spark, rows):
+    """The win_rank_dense / win_percent value-ledger formulas (rank =
+    1 + exclusive prefix count, dense_rank = distinct-value index,
+    percent_rank = (rank−1)/(n−1), cume_dist = inclusive prefix / n)
+    must equal Spark's own window functions on arbitrary tie patterns —
+    the hand-rolled arithmetic is what parity can't isolate when the
+    fixture's tie distribution is benign."""
+    df = spark.createDataFrame(
+        [(g, float(v), i) for i, (g, v) in enumerate(rows)],
+        "flag string, val double, id long",
+    )
+    w = Window.partitionBy("flag").orderBy("val")
+    want = {
+        (r.id, r.rnk, r.drnk, r.pr, r.cd)
+        for r in df.select(
+            "id",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+
+    cnts = df.groupBy("flag", "val").agg(F.count(F.lit(1)).alias("_cnt"))
+    wled = Window.partitionBy("flag").orderBy("val")
+    wprev = wled.rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy("flag")
+    pre = F.coalesce(F.sum("_cnt").over(wprev), F.lit(0))
+    n = F.sum("_cnt").over(wall)
+    led = cnts.select(
+        "flag",
+        "val",
+        (pre + 1).cast("int").alias("rnk"),
+        F.row_number().over(wled).alias("drnk"),
+        F.when(n > 1, pre.cast("double") / (n - 1).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
+        ((pre + F.col("_cnt")).cast("double") / n.cast("double")).alias("cd"),
+    )
+    got = {
+        (r.id, r.rnk, r.drnk, r.pr, r.cd)
+        for r in df.join(F.broadcast(led), ["flag", "val"])
+        .select("id", "rnk", "drnk", "pr", "cd")
+        .collect()
+    }
+    assert got == want
+
+
+@given(
     num=st.integers(min_value=-10_000_000, max_value=10_000_000),
     den=st.integers(min_value=1, max_value=200_000),
 )
