@@ -1325,23 +1325,28 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("node").alias("doc_id"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        # The change flag rides the label frame itself (nbr_component <
+        # component ⟺ the label shrank this round), so the fixpoint check
+        # is a cheap agg over the already-checkpointed frame instead of a
+        # second labels-vs-labels join per round.
         new = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", "component")
-                ).alias("component"),
+                ).alias("new_component"),
+                (
+                    F.coalesce("nbr_component", "component") < F.col("component")
+                ).cast("int").alias("chg"),
             )
+            .withColumnRenamed("new_component", "component")
         )
         new = new.localCheckpoint(eager=True)
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new
+        changed = new.agg(
+            F.coalesce(F.sum("chg"), F.lit(0)).alias("c")
+        ).first()["c"]
+        labels = new.drop("chg")
         if changed == 0:
             break
 
