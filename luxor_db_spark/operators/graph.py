@@ -233,15 +233,22 @@ def graph_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).union(m.select(F.col("a"), F.col("m").alias("b")))
         return out.filter(F.col("a") != F.col("b")).distinct()
 
+    # Both frames are .distinct() sets, so set equality is |A| == |B| ==
+    # |A ∪ B| — two scans of already-checkpointed data plus one
+    # union-distinct ONLY in rounds where the cardinality ties, instead
+    # of two exceptAll joins every round.
+    prev_count = edges.count()
     for _ in range(12):
         new_edges = _star(_star(edges, large=True), large=False)
         new_edges = new_edges.localCheckpoint(eager=True)
-        changed = (
-            new_edges.exceptAll(edges).count()
-            + edges.exceptAll(new_edges).count()
+        new_count = new_edges.count()
+        converged = (
+            new_count == prev_count
+            and new_edges.union(edges).distinct().count() == new_count
         )
         edges = new_edges
-        if changed == 0:
+        prev_count = new_count
+        if converged:
             break
 
     nodes = pairs.select(F.col("a").alias("n")).union(
