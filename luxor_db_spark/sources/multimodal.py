@@ -133,16 +133,53 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("mm_decode_meta")  # rows-only: decode falls back to stub w/o codec
+# SQL mirror of _stub_decode_image's md5-derived geometry: parse the first
+# 8 hex chars of md5(payload) into the same 32-bit big-endian value Python
+# reads from digest()[:4], then mask to 31 bits.  Text payloads never carry
+# PNG/GIF/JPEG magic bytes (asserted over the fixtures), so the stub branch
+# is the one both engines compute.
+_MD5_H31 = (
+    "(("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({{c}}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ") % 2147483648)"
+)
+
+
+@query(
+    "mm_decode_meta",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             {_MD5_H31.format(c="coalesce(text, '')")} AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(strlen(t) AS INT) AS n_bytes,
+           CASE hv % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                ELSE 'webp' END AS format,
+           CAST(64 + hv % 1920 AS INT) AS width,
+           CAST(64 + (hv // 2048) % 1080 AS INT) AS height,
+           substr(sha256(t), 1, 16) AS sha_prefix
+    FROM h
+    """,
+)
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → typed metadata via mapInPandas.
 
     ``documents.text`` bytes stand in for media payloads (no binary fixture
     table exists); everything downstream of the payload column is the real
-    multimodal pipeline shape.
+    multimodal pipeline shape. Oracle-checked: the stub decoder derives
+    (format, width, height) from md5(payload) — reproduced symbolically in
+    SQL (md5/sha256 over a varchar hash its utf-8 bytes in both engines),
+    so a hash mismatch means the Arrow batch path corrupted payload bytes.
     """
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("media")
+        "doc_id",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("media"),
     )
     return d.mapInPandas(_decode_batches, schema=_META_SCHEMA)
 
@@ -247,7 +284,7 @@ def mm_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RESIZE_SCHEMA = (
     "doc_id long, orig_w int, orig_h int, new_w int, new_h int, "
-    "scale double, out_bytes int"
+    "scale_e6 int, out_bytes int"
 )
 
 _TARGET_EDGE = 224  # standard vision-model input edge
@@ -261,30 +298,70 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     shuffle), bounded memory per batch, output size proportional to input
     count, payload bytes touched exactly once.
     """
+    import math
+
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
             _, w, h = _decode_image(payload)
             scale = _TARGET_EDGE / min(w, h)
-            nw, nh = round(w * scale), round(h * scale)
+            # floor(x + 0.5), not round(): Python round() half-ties to even
+            # while SQL dialects differ — floor is the one expression both
+            # engines evaluate identically on IEEE doubles (the same recipe
+            # as llm_embed_quantize). scale reports as micro-units (int) so
+            # no raw double ever reaches the comparator hash.
+            nw = math.floor(w * scale + 0.5)
+            nh = math.floor(h * scale + 0.5)
             # STUB: a real impl emits re-encoded bytes; we emit the size a
             # deterministic 3-byte/px encode would produce.
-            rows.append((doc_id, w, h, nw, nh, round(scale, 6), nw * nh * 3))
+            rows.append(
+                (doc_id, w, h, nw, nh,
+                 math.floor(scale * 1e6 + 0.5), nw * nh * 3)
+            )
         yield pd.DataFrame(
             rows,
             columns=[
-                "doc_id", "orig_w", "orig_h", "new_w", "new_h", "scale",
+                "doc_id", "orig_w", "orig_h", "new_w", "new_h", "scale_e6",
                 "out_bytes",
             ],
         )
 
 
-@query("mm_resize")  # rows-only: geometry via _decode_image (stub w/o codec)
+@query(
+    "mm_resize",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_MD5_H31.format(c="coalesce(text, '')")} AS hv
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CAST(64 + hv % 1920 AS INT) AS w,
+             CAST(64 + (hv // 2048) % 1080 AS INT) AS hh
+      FROM h
+    ), s AS (
+      SELECT doc_id, w, hh, 224.0 / LEAST(w, hh) AS scale FROM g
+    )
+    SELECT doc_id, w AS orig_w, hh AS orig_h,
+           CAST(FLOOR(w * scale + 0.5) AS INT) AS new_w,
+           CAST(FLOOR(hh * scale + 0.5) AS INT) AS new_h,
+           CAST(FLOOR(scale * 1000000.0 + 0.5) AS INT) AS scale_e6,
+           CAST(FLOOR(w * scale + 0.5) * FLOOR(hh * scale + 0.5) * 3 AS INT)
+             AS out_bytes
+    FROM s
+    """,
+)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shortest-edge-224 resize planning over binary assets via mapInPandas
-    (the preprocessing step in front of any vision encoder)."""
+    (the preprocessing step in front of any vision encoder).
+
+    Oracle-checked end to end: geometry comes from the md5-derived stub
+    dimensions (see `mm_decode_meta`), and every derived column is the
+    FLOOR(x + 0.5) recipe on IEEE doubles — 224.0/min then per-edge
+    multiply, the exact op order both engines execute.
+    """
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("media")
+        "doc_id",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("media"),
     )
     return d.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
 

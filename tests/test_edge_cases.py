@@ -548,3 +548,35 @@ def test_empty_input_parity(key, spark, empty_fx_dir):
     finally:
         con.close()
 
+
+def test_stub_decode_oracle_mirror_and_no_magic_collisions(duck):
+    """mm_decode_meta/mm_resize's SQL oracles reproduce the stub decoder
+    symbolically. That only holds if (a) DuckDB's md5 hex parse equals
+    Python's digest()[:4] big-endian read, and (b) no fixture text starts
+    with PNG/GIF/JPEG magic bytes (which would take the real-parse branch
+    the oracle cannot see)."""
+    import hashlib
+
+    from luxor_db_spark.sources.multimodal import _MD5_H31, _stub_decode_image
+
+    for s in ["hello world", "", "a", "Zoölogy – naïve…", "GIF list text"]:
+        py_h = (
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+            & 0x7FFFFFFF
+        )
+        duck_h = duck.execute(
+            f"SELECT {_MD5_H31.format(c='s')} FROM (SELECT ? AS s)", [s]
+        ).fetchone()[0]
+        assert duck_h == py_h, s
+        fmt, w, h = _stub_decode_image(s.encode())
+        assert fmt == ("png", "jpeg", "webp")[py_h % 3]
+        assert (w, h) == (64 + py_h % 1920, 64 + (py_h >> 11) % 1080)
+
+    for sf in ["sf0.001", "sf0.01", "sf0.1"]:
+        n = duck.execute(
+            "SELECT COUNT(*) FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet') "
+            "WHERE text LIKE 'GIF87a%' OR text LIKE 'GIF89a%' "
+            "   OR text LIKE chr(137) || 'PNG%' OR text LIKE chr(255) || '%'"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: fixture text collides with image magic bytes"
