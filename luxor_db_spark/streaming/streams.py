@@ -428,7 +428,18 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_checkpoint_resume")  # rows-only: operational semantics demo
+@query(
+    "stream_checkpoint_resume",
+    # The whole events fixture is copied into the source dir twice, so
+    # exactly-once resume means n_first = N, n_second = N, n_total = 2N:
+    # a reprocessed first file would inflate n_total, a lost offset would
+    # shrink it — both hash-visible against the plain COUNT.
+    oracle="""
+    SELECT COUNT(*) AS n_first, COUNT(*) AS n_second,
+           2 * COUNT(*) AS n_total
+    FROM events
+    """,
+)
 def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed exactly-once resume: run a stream to completion over one
     source file, stop it, drop a second file into the source dir, restart
