@@ -7,7 +7,8 @@ scale-relevant part — edge construction dominates cost at 100 TB), then
 iterate on the much smaller node/edge grain.
 
 Related: `llm_dedup_cluster` (operators/llm.py) is the other iterative
-graph operator (connected components via min-label propagation).
+graph operator; both route through the shared star-contraction kernel
+(operators/cc.py).
 """
 
 from __future__ import annotations
@@ -198,71 +199,19 @@ def graph_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     same component definition `llm_dedup_cluster` uses.
 
     Scale shape: both phases shuffle only (node, neighbor) pairs grouped
-    by node; the per-round fixpoint metric is one scalar. Edges
-    localCheckpoint per round (lineage truncation, as dedup_cluster).
+    by node; the per-round fixpoint metric is one scalar. r6: the kernel
+    lives in ``cc.star_contract`` (shared with ``llm_dedup_cluster``),
+    which checkpoints per round and raises on non-convergence.
     """
+    from luxor_db_spark.operators.cc import star_contract
+
     d = load_table(spark, sf_dir, "documents")
-    pairs = (
-        d.select(
-            (F.col("doc_id") % 97).alias("a"),
-            ((F.col("doc_id") * 7) % 97).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
+    pairs = d.select(
+        (F.col("doc_id") % 97).alias("a"),
+        ((F.col("doc_id") * 7) % 97).alias("b"),
     )
-    edges = pairs.localCheckpoint(eager=True)
-
-    def _star(e: DataFrame, large: bool) -> DataFrame:
-        bi = e.select("a", "b").union(
-            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        if not large:
-            # small-star operates on edges pointed toward the smaller id
-            bi = bi.filter(F.col("b") <= F.col("a"))
-        m = bi.groupBy("a").agg(
-            F.least(F.min("b"), F.first("a")).alias("m")
-        )
-        joined = bi.join(m, "a")
-        if large:
-            out = joined.filter(F.col("b") > F.col("a")).select(
-                F.col("b").alias("a"), F.col("m").alias("b")
-            )
-        else:
-            out = joined.select(
-                F.col("b").alias("a"), F.col("m").alias("b")
-            ).union(m.select(F.col("a"), F.col("m").alias("b")))
-        return out.filter(F.col("a") != F.col("b")).distinct()
-
-    # Both frames are .distinct() sets, so set equality is |A| == |B| ==
-    # |A ∪ B| — two scans of already-checkpointed data plus one
-    # union-distinct ONLY in rounds where the cardinality ties, instead
-    # of two exceptAll joins every round.
-    prev_count = edges.count()
-    for _ in range(12):
-        new_edges = _star(_star(edges, large=True), large=False)
-        new_edges = new_edges.localCheckpoint(eager=True)
-        new_count = new_edges.count()
-        converged = (
-            new_count == prev_count
-            and new_edges.union(edges).distinct().count() == new_count
-        )
-        edges = new_edges
-        prev_count = new_count
-        if converged:
-            break
-
-    nodes = pairs.select(F.col("a").alias("n")).union(
-        pairs.select(F.col("b").alias("n"))
-    ).distinct()
-    roots = edges.groupBy("a").agg(F.min("b").alias("root"))
-    # After convergence every non-root points at its component min; roots
-    # (and isolated nodes, absent here) label themselves.
-    return (
-        nodes.join(roots, nodes.n == roots.a, "left")
-        .select(
-            F.col("n").cast("bigint").alias("node"),
-            F.coalesce(F.col("root"), F.col("n"))
-            .cast("bigint")
-            .alias("component"),
-        )
+    labels = star_contract(pairs)
+    return labels.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("component"),
     )

@@ -1286,72 +1286,29 @@ _NEAR_PAIRS_DUCK = f"""
     """,
 )
 def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the near-dup graph (min-label propagation):
-    every document gets the smallest doc_id reachable through Jaccard≥0.5
-    edges — the clustering step between pair detection and keep-one-per-
-    cluster dedup.
+    """Connected components over the near-dup graph: every document gets
+    the smallest doc_id reachable through Jaccard≥0.5 edges — the
+    clustering step between pair detection and keep-one-per-cluster dedup.
 
-    Iterative: each round joins labels to the adjacency list and takes the
-    per-node min; converges in O(graph diameter) rounds. The only
-    driver-side value per round is the changed-row count (a scalar, the
-    standard fixpoint check for distributed iterative algorithms);
-    localCheckpoint truncates lineage so round N's plan doesn't replay
-    rounds 1..N-1. Oracle: DuckDB recursive-CTE transitive closure of the
-    same edge set.
-
-    r6: iterate over GRAPH NODES only. A document outside the near-dup
-    edge set can never change its label (its component is its own id),
-    so the per-round frames are |V(graph)| = O(pair count) rows — the
-    sparse near-dup graph, not the corpus. The corpus-sized table is
-    touched exactly once, by the final left join that fills in the
-    isolated documents.
+    r6: routed through ``cc.star_contract`` (alternating large-star /
+    small-star contraction) instead of min-label propagation. Propagation
+    converges in O(graph diameter) rounds, and the previous 20-round cap
+    would have returned silently WRONG labels on a near-dup chain longer
+    than 20 hops — the template-document topology a 100 TB corpus
+    actually contains. Contraction collapses paths multiplicatively
+    (O(log n) rounds, diameter-independent) and raises instead of
+    emitting unconverged labels. Per-round frames stay on the sparse
+    |E(graph)| grain; the corpus-sized table is touched exactly once, by
+    the final left join that fills in the isolated documents. Oracle:
+    DuckDB recursive-CTE transitive closure of the same edge set.
     """
+    from luxor_db_spark.operators.cc import star_contract
+
     pairs = llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
-    und = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).withColumnsRenamed({"doc_a": "node", "doc_b": "nbr"})
-    und = und.localCheckpoint(eager=True)
-
-    labels = (
-        und.select(F.col("node").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("component"))
-        .localCheckpoint(eager=True)
-    )
-
-    for _ in range(20):  # >= diameter of any near-dup cluster here
-        nbr_min = (
-            und.join(labels, und.nbr == labels.doc_id)
-            .groupBy(F.col("node").alias("doc_id"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        # The change flag rides the label frame itself (nbr_component <
-        # component ⟺ the label shrank this round), so the fixpoint check
-        # is a cheap agg over the already-checkpointed frame instead of a
-        # second labels-vs-labels join per round.
-        new = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", "component")
-                ).alias("new_component"),
-                (
-                    F.coalesce("nbr_component", "component") < F.col("component")
-                ).cast("int").alias("chg"),
-            )
-            .withColumnRenamed("new_component", "component")
-        )
-        new = new.localCheckpoint(eager=True)
-        changed = new.agg(
-            F.coalesce(F.sum("chg"), F.lit(0)).alias("c")
-        ).first()["c"]
-        labels = new.drop("chg")
-        if changed == 0:
-            break
+    labels = star_contract(pairs)
 
     d = load_table(spark, sf_dir, "documents")
-    return d.join(labels, "doc_id", "left").select(
+    return d.join(labels, d.doc_id == labels.node, "left").select(
         "doc_id",
         F.coalesce("component", "doc_id").cast("bigint").alias("component"),
     )

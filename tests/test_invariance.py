@@ -61,8 +61,8 @@ KEYS = {
     "win_percent_of_total": "broadcast group totals",
     "llm_dpo_pairs": "min/max-of-struct aggregation",
     # iterative fixpoints (localCheckpoint plan cuts)
-    "llm_dedup_cluster": "min-label CC iteration",
-    "graph_cc_two_phase": "CC fixpoint change-count",
+    "llm_dedup_cluster": "star-contraction CC over near-dup edges",
+    "graph_cc_two_phase": "star-contraction CC fixpoint",
     "graph_pagerank": "unrolled iteration reuse",
     # hash-partitioned window keep-lowest
     "llm_dedup_exact": "md5 hash-partition window",

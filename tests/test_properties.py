@@ -477,3 +477,65 @@ def test_q4_is_engine_identical_even_on_ties(spark, num, den):
         f"SELECT {q4_sql(f'CAST({num} AS DOUBLE) / {den}')} AS v"
     ).fetchone()[0]
     assert got_spark == got_duck, (num, den, got_spark, got_duck)
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=24),
+        st.integers(min_value=0, max_value=24),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(edges=EDGES)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_star_contract_matches_union_find(spark, edges):
+    """cc.star_contract (the CC kernel behind graph_cc_two_phase and
+    llm_dedup_cluster) must label every endpoint with the min node id of
+    its component, for ANY graph shape — cycles, long chains (the
+    topology that breaks capped label propagation), self-loops,
+    duplicate/reversed edges. Ground truth: driver-side union-find."""
+    from luxor_db_spark.operators.cc import star_contract
+
+    # union-find ground truth
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    comp = {
+        n: min(m for m in parent if find(m) == find(n)) for n in parent
+    }
+    # star_contract only labels endpoints of real (non-self-loop) edges
+    real_nodes = {n for u, v in edges if u != v for n in (u, v)}
+    expected = sorted((n, comp[n]) for n in real_nodes)
+
+    df = spark.createDataFrame(
+        edges or [(0, 0)], "a int, b int"
+    )
+    got = sorted(
+        (r["node"], r["component"])
+        for r in star_contract(df).collect()
+    )
+    assert got == expected, f"edges={edges}"
+
+
+def test_star_contract_long_chain_exceeds_propagation_cap(spark):
+    """A 60-node path: diameter 59, far beyond the 20 rounds the old
+    min-label propagation loop was capped at. Star contraction must
+    still label every node with 0 (and converge well inside its cap)."""
+    from luxor_db_spark.operators.cc import star_contract
+
+    chain = [(i, i + 1) for i in range(59)]
+    df = spark.createDataFrame(chain, "a int, b int")
+    rows = star_contract(df).collect()
+    assert len(rows) == 60
+    assert all(r["component"] == 0 for r in rows)
