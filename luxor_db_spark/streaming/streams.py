@@ -56,7 +56,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # append-mode watermark drops depend on nondeterministic file
         # listing order, and update-mode sinks would see one emission per
         # batch instead of one per key.)
-        raw = spark.readStream.schema(raw_schema).parquet(path)
+        #
+        # LUXOR_STREAM_MAX_FILES_PER_TRIGGER is a TEST HOOK: the
+        # batch-split invariance suite (tests/test_stream_invariance.py)
+        # sets it to force one-file micro-batches and asserts the keys
+        # whose contracts are batch-count-invariant (complete-mode aggs,
+        # key-only dedup, stateless joins) return identical results.
+        # Never set in production paths.
+        rs = spark.readStream.schema(raw_schema)
+        mft = os.environ.get("LUXOR_STREAM_MAX_FILES_PER_TRIGGER")
+        if mft:
+            rs = rs.option("maxFilesPerTrigger", int(mft))
+        raw = rs.parquet(path)
     else:
         # Driver fixture layout: {sf_dir}/events.parquet is a single file.
         # The file source wants a directory, so scan sf_dir with a name
