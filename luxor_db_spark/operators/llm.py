@@ -175,6 +175,7 @@ def llm_dedup_near(
     *,
     skew_safe: bool = False,
     df_cap: int | None = _DF_CAP,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Near-dup pairs: exact Jaccard ≥ 0.5 over distinct 3-word shingles.
 
@@ -206,6 +207,23 @@ def llm_dedup_near(
       would collect an unbounded hot set to the driver). Costs one extra
       scan+explode; at Zipf scale that is the cheap side of the trade.
 
+    ``prefix_filter=True`` (overrides the cap knobs): EXACT true-Jaccard
+    pairs via prefix filtering (Bayardo et al., "Scaling Up All Pairs
+    Similarity Search", WWW'07; Xiao et al. PPJoin). Order each doc's
+    shingles by ascending global df (rarest first, tie-break on the
+    shingle); for J ≥ t any qualifying pair must share ≥ 1 shingle inside
+    BOTH docs' first |S| − ⌈t·|S|⌉ + 1 shingles (if the smallest common
+    shingle sat outside A's prefix, all ≤ ⌈t|S_A|⌉ − 1 remaining slots
+    could not reach the t·|S_A| intersection J ≥ t forces). So only the
+    PREFIX entries enter the inverted-index self-join — hot boilerplate
+    shingles (highest df) sort last and stay out of most prefixes,
+    bounding the posting blowup WITHOUT the df-cap's recall loss —
+    candidates are then exact-verified against the full shingle arrays
+    on the doc grain. Lossless by the theorem (CI-asserted equal to
+    ``df_cap=None`` output); sub-quadratic except where the OUTPUT
+    itself is quadratic (an m-clique of true dups owns m² pairs — emit
+    clusters via `llm_dedup_cluster` instead at that density).
+
     This is the oracle-checkable core; `llm_dedup_minhash` is the
     sub-quadratic scale path.
     """
@@ -215,6 +233,72 @@ def llm_dedup_near(
     sh_all = d.select(
         "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES))).alias("s")
     )
+    if prefix_filter:
+        t = 0.5
+        dfreq = sh_all.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        ranked = (
+            sh_all.join(dfreq, "s")
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("df", "s")
+                ),
+            )
+            .withColumn(
+                "nsh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+            )
+        )
+        # persist: both sides of the candidate self-join read pref; without
+        # it Spark derives the dfreq-join + two windows once PER SIDE (the
+        # broadcast side cannot ReuseExchange the partitioned side).
+        pref = (
+            ranked.filter(
+                F.col("rn") <= F.col("nsh") - F.ceil(F.col("nsh") * t) + 1
+            )
+            .select("doc_id", "s")
+            .persist()
+        )
+        cand_pairs = (
+            pref.alias("pa")
+            .join(
+                pref.alias("pb"),
+                (F.col("pa.s") == F.col("pb.s"))
+                & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            )
+            .select(
+                F.col("pa.doc_id").alias("doc_a"),
+                F.col("pb.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        # Exact verification on the doc grain: two equi-joins against the
+        # per-doc shingle ARRAY (bounded by doc length) — no second pass
+        # over the inverted index.
+        docsets = d.select(
+            "doc_id", F.array_distinct(F.expr(_SHINGLES)).alias("shs")
+        )
+        jp = (
+            cand_pairs.join(
+                docsets.alias("dx"), F.col("doc_a") == F.col("dx.doc_id")
+            )
+            .join(docsets.alias("dy"), F.col("doc_b") == F.col("dy.doc_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("dx.shs", "dy.shs")).alias("inter"),
+                F.size("dx.shs").alias("na"),
+                F.size("dy.shs").alias("nb"),
+            )
+            .withColumn(
+                "jaccard",
+                F.col("inter")
+                * 1.0
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+            )
+        )
+        return jp.filter(F.col("jaccard") >= t).select(
+            "doc_a", "doc_b", "jaccard"
+        )
     if df_cap is None:
         # Uncapped ground truth (tools/recall_curve.py): quadratic in the
         # hottest shingle's df — measurement only, never the scale path.

@@ -77,3 +77,36 @@ def test_pair_metrics_empty_candidates(spark):
     assert m["n_cand"] == 0 and m["tp"] == 0
     assert m["precision"] is None
     assert m["recall"] == 0.0
+
+
+def test_prefix_filter_is_lossless_vs_uncapped_truth(spark, sf_dir):
+    """prefix_filter=True must emit EXACTLY the uncapped true-Jaccard
+    pair set, values included — the Bayardo prefix theorem promises zero
+    recall loss, so equality (not ⊆) is the contract."""
+    def canon(df):
+        return sorted(
+            (r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in df.collect()
+        )
+
+    truth = canon(llm_dedup_near(spark, sf_dir, skew_safe=True, df_cap=None))
+    pref = canon(llm_dedup_near(spark, sf_dir, prefix_filter=True))
+    assert pref == truth and len(pref) > 0
+
+
+def test_prefix_filter_recovers_pairs_the_df_cap_drops(spark, tmp_path):
+    """Adversarial boilerplate corpus: 110 identical documents, so every
+    shingle's df (110) exceeds _DF_CAP (100). The capped form drops the
+    whole index and finds ZERO pairs — the measured recall cliff — while
+    prefix filtering finds all C(110,2) true pairs at jaccard 1.0."""
+    sf = str(tmp_path)
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    spark.createDataFrame(
+        [(i, text) for i in range(110)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    capped = llm_dedup_near(spark, sf).count()
+    exact = llm_dedup_near(spark, sf, prefix_filter=True)
+    rows = exact.collect()
+    assert capped == 0
+    assert len(rows) == 110 * 109 // 2
+    assert all(r.jaccard == 1.0 for r in rows)

@@ -20,6 +20,10 @@ and scores both production paths against it:
   candidates ∩ truth: the output of the full candidate→verify pipeline
   the SCALE doc declares as the 100 TB path. Its precision is 1.0 by
   construction; its recall IS the LSH candidate recall.
+- `prefix`  — `llm_dedup_near(prefix_filter=True)`: exact true-Jaccard
+  via Bayardo prefix filtering. Recall/precision are 1.0 by theorem
+  (CI-asserted); what this harness measures is its COST relative to the
+  uncapped truth — the price of losslessness at growing dup density.
 
 Reuses the scale_curve amplifier verbatim (rotation-amplified documents:
 dup density grows quadratically while input grows linearly — the
@@ -92,6 +96,12 @@ def measure_factor(
 
     capped = pair_metrics(llm_dedup_near(spark, sf_dir), truth)
     lsh = pair_metrics(llm_minhash_lsh(spark, sf_dir), truth)
+
+    t1 = time.perf_counter()
+    prefix = pair_metrics(
+        llm_dedup_near(spark, sf_dir, prefix_filter=True), truth
+    )
+    prefix_s = round(time.perf_counter() - t1, 2)
     truth.unpersist()
 
     row = {
@@ -101,6 +111,9 @@ def measure_factor(
         "truth_cost_s": truth_s,
         "capped_precision": capped["precision"],
         "capped_recall": capped["recall"],
+        "prefix_recall": prefix["recall"],
+        "prefix_precision": prefix["precision"],
+        "prefix_cost_s": prefix_s,
         "lsh_n_cand": lsh["n_cand"],
         "lsh_cand_precision": lsh["precision"],
         # verified-pipeline recall == candidate recall (verification is
@@ -133,6 +146,7 @@ def main(argv: list[str]) -> int:
                 "summary": "recall_curve",
                 "factors": factors,
                 "capped_recall": [r["capped_recall"] for r in rows],
+                "prefix_recall": [r["prefix_recall"] for r in rows],
                 "lsh_verified_recall": [
                     r["lsh_verified_recall"] for r in rows
                 ],
