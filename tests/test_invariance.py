@@ -70,6 +70,10 @@ KEYS = {
 
 PERTURBATIONS = {
     "aqe_off": {"spark.sql.adaptive.enabled": "false"},
+    # Auto-broadcast disabled: every un-hinted join falls back to
+    # sort-merge/shuffle-hash. Catches results that accidentally depend
+    # on broadcast-join semantics or on AQE's broadcast promotion.
+    "no_autobroadcast": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     # npart_1 is the degenerate boundary: one range partition means the
     # two_level_cumsum offset table is a single row and every halo bucket
     # lands in one task — the pid arithmetic must still close.

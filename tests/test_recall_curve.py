@@ -110,3 +110,31 @@ def test_prefix_filter_recovers_pairs_the_df_cap_drops(spark, tmp_path):
     assert capped == 0
     assert len(rows) == 110 * 109 // 2
     assert all(r.jaccard == 1.0 for r in rows)
+
+
+def test_ivf_recall_floor_and_nprobe_monotonicity(spark, sf_dir):
+    """llm_ann_ivf quality pins (tools/ann_recall.py is the measurement
+    harness): the default 2-of-16 probe must keep recall@5 above the
+    floor measured on the isotropic fixture (0.38 at sf0.001 — the IVF
+    worst case, where recall tracks scanned fraction), and widening the
+    probe must recover recall. Catches a broken cell join or quantizer
+    regression, which would crater recall toward 0."""
+    from tools.ann_recall import exact_top5
+    from luxor_db_spark.operators.llm import llm_ann_ivf
+
+    truth = exact_top5(spark, sf_dir)
+    assert len(truth) == 50
+
+    def recall(nprobe):
+        got = {
+            (r.q_id, r.nb_id)
+            for r in llm_ann_ivf(spark, sf_dir, nprobe=nprobe)
+            .select("q_id", "nb_id")
+            .collect()
+        }
+        return len(truth & got) / len(truth)
+
+    r_default, r_wide = recall(2), recall(8)
+    assert r_default >= 0.30, f"default-probe recall collapsed: {r_default}"
+    assert r_wide >= r_default, (r_default, r_wide)
+    assert r_wide >= 0.60, f"wide-probe recall too low: {r_wide}"

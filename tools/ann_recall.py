@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Recall@5 of the IVF ANN path vs the exact brute force, across nprobe.
+
+`llm_ann_ivf` prunes `llm_cosine_topk`'s exact scan with a 16-cell
+k-means coarse quantizer; its recall depends on how clustered the vector
+corpus is. The synthetic fixture embeddings are near-isotropic — the
+WORST case for IVF, where recall collapses to the scanned fraction
+(nprobe/16) — so this harness measures the floor, not the typical case,
+and the operator docstring says so. A deployment on real (clustered)
+embeddings should re-run this harness on its own corpus.
+
+Truth: exact top-5 per query by the same cosine, rounding, and
+(sim desc, vec_id) tie-break the IVF path uses, so the comparison is
+pure cell-miss, never arithmetic drift.
+
+Usage:
+    python tools/ann_recall.py                   # sf0.01, nprobe 2,4,8,12
+    python tools/ann_recall.py --sf <dir> --nprobe 2,8
+
+Prints one JSON line per nprobe and a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.functions import broadcast  # noqa: E402
+
+from luxor_db_spark.catalog import load_table  # noqa: E402
+from luxor_db_spark.operators.llm import _cosine, llm_ann_ivf  # noqa: E402
+from luxor_db_spark.session import get_spark  # noqa: E402
+
+
+def exact_top5(spark, sf_dir: str) -> set[tuple[int, int]]:
+    """Exact top-5 neighbor set for the same 10 queries the IVF path uses."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    sc = (
+        e.crossJoin(broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("sim", F.round(_cosine(F.col("qv"), F.col("embedding")), 4))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    rows = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", F.col("vec_id").alias("nb_id"))
+        .collect()
+    )
+    return {(r.q_id, r.nb_id) for r in rows}
+
+
+def main(argv: list[str]) -> int:
+    sf_dir = "/root/testdata/sf0.01"
+    nprobes = [2, 4, 8, 12]
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        if i + 1 >= len(argv):
+            print("usage: --sf <dir>", file=sys.stderr)
+            return 2
+        sf_dir = argv[i + 1]
+    if "--nprobe" in argv:
+        i = argv.index("--nprobe")
+        if i + 1 >= len(argv):
+            print("usage: --nprobe 2,4,8", file=sys.stderr)
+            return 2
+        nprobes = [int(x) for x in argv[i + 1].split(",")]
+
+    spark = get_spark(app_name="luxor-db-spark-ann-recall")
+    truth = exact_top5(spark, sf_dir)
+    rows = []
+    for nprobe in nprobes:
+        t0 = time.perf_counter()
+        got = {
+            (r.q_id, r.nb_id)
+            for r in llm_ann_ivf(spark, sf_dir, nprobe=nprobe)
+            .select("q_id", "nb_id")
+            .collect()
+        }
+        row = {
+            "nprobe": nprobe,
+            "scan_fraction": round(nprobe / 16, 3),
+            "recall_at_5": round(len(truth & got) / len(truth), 4),
+            "sec": round(time.perf_counter() - t0, 2),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    print(
+        json.dumps(
+            {
+                "summary": "ann_recall",
+                "sf_dir": sf_dir,
+                "n_truth": len(truth),
+                "recall": {str(r["nprobe"]): r["recall_at_5"] for r in rows},
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
