@@ -389,14 +389,40 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("llm_dedup_simhash")  # rows-only: engine-internal hash (xxhash64)
-def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprinting: 16-bit token-hash sign aggregation.
+def llm_dedup_simhash(
+    spark: SparkSession, sf_dir: str, *, hamming_max: int = 7
+) -> DataFrame:
+    """SimHash near-dup candidates, Manku et al. (WWW'07) shape: 64-bit
+    token-hash sign fingerprint, 4×16-bit block banding, Hamming-distance
+    verification (``bit_count(xor) <= hamming_max``).
 
-    Pure JVM expressions (explode → xxhash64 → per-bit signed sum); docs
-    sharing a fingerprint are near-dup candidates. Rows-only because
+    r6 rewrite with measured cause: the old form (16-bit fingerprint,
+    WHOLE-fingerprint equality) was simultaneously too strict for recall
+    (equality on all bits misses moderately-similar pairs) and too
+    collision-prone for precision (5,000 docs in 2^16 buckets → measured
+    recall 0.32 at precision 0.0015 vs the Jaccard≥0.5 truth). The
+    banded 64-bit form is GUARANTEED to surface every pair within
+    Hamming 3 (pigeonhole: 3 flipped bits cannot touch all 4 blocks) and
+    best-effort up to ``hamming_max``; verification is an exact popcount.
+
+    Honest fixture numbers (tests/test_recall_curve.py pins them): the
+    fixture documents are SHORT (~15 distinct tokens), which is
+    simhash's structural worst case — each bit's sign is a ±1 majority
+    over ~15 features, so even J ≥ 0.9 pairs land at Hamming 4–9 and
+    measured recall on that band is 0.70 at ``hamming_max=7`` (the old
+    equality form: 0.32 at comparable noise). Fingerprint concentration
+    needs feature-rich documents (Manku et al. operate on full web
+    pages); on short text `llm_dedup_minhash` (fixture recall 1.0) or
+    `llm_dedup_near` own the contract, and this key is the
+    cheap-fingerprint screen whose quality must be measured per corpus.
+
+    Scale shape: per-bit signed sums are one map-combinable groupBy on
+    doc_id (64 partial-agg columns); banding is an equi-join on
+    (block_index, block_value); verification is a per-row popcount on
+    the xor — no full-fingerprint self-join anywhere. Rows-only because
     xxhash64 is Spark-internal.
     """
-    bits = 16
+    bits = 64
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.expr(_TOKENS))).alias("w")
@@ -410,19 +436,47 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = tok.groupBy("doc_id").agg(*aggs)
     fp = None
     for b in range(bits):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
+        term = F.when(
+            F.col(f"b{b}") > 0,
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseOR(term)
     sigs = sums.select("doc_id", fp.alias("simhash"))
-    a = sigs.alias("a")
-    b_ = sigs.alias("b")
-    return a.join(
-        b_,
-        (F.col("a.simhash") == F.col("b.simhash"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.simhash").alias("simhash"),
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(
+                        F.lit(0xFFFF).cast("long")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk_i", "blk"),
+    )
+    a = blocks.alias("a")
+    b_ = blocks.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.blk_i") == F.col("b.blk_i"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= hamming_max)
     )
 
 

@@ -138,3 +138,42 @@ def test_ivf_recall_floor_and_nprobe_monotonicity(spark, sf_dir):
     assert r_default >= 0.30, f"default-probe recall collapsed: {r_default}"
     assert r_wide >= r_default, (r_default, r_wide)
     assert r_wide >= 0.60, f"wide-probe recall too low: {r_wide}"
+
+
+def test_minhash_ml_path_recall_and_precision_at_fixture(spark, sf_dir):
+    """llm_dedup_minhash (the Spark ML MinHashLSH path) recovers the
+    complete uncapped truth set with zero false pairs at the fixture —
+    measured 1.0/1.0; deterministic (seed=42 over static data)."""
+    from luxor_db_spark.operators.llm import llm_dedup_minhash
+
+    truth = _pairs(llm_dedup_near(spark, sf_dir, skew_safe=True, df_cap=None))
+    cand = _pairs(llm_dedup_minhash(spark, sf_dir))
+    assert truth and cand == truth
+
+
+def test_simhash_banding_beats_old_equality_form(spark, sf_dir):
+    """llm_dedup_simhash quality pins after the r6 banded rewrite. The
+    fixture's short documents are simhash's worst case (±1-majority sign
+    bits), so the pins are floors measured there: recall ≥ 0.6 on the
+    J ≥ 0.9 truth band at the default hamming_max=7 (the old 16-bit
+    equality form measured 0.32), every emitted pair respects the
+    Hamming bound, and tightening the bound only removes pairs."""
+    from luxor_db_spark.operators.llm import llm_dedup_near, llm_dedup_simhash
+
+    hi = {
+        (r.doc_a, r.doc_b)
+        for r in llm_dedup_near(
+            spark, sf_dir, skew_safe=True, df_cap=None
+        ).collect()
+        if r.jaccard >= 0.9
+    }
+    assert hi
+    rows = llm_dedup_simhash(spark, sf_dir).collect()
+    cand = {(r.doc_a, r.doc_b) for r in rows}
+    assert all(0 <= r.hamming <= 7 for r in rows)
+    assert len(hi & cand) / len(hi) >= 0.6
+    tight = {
+        (r.doc_a, r.doc_b)
+        for r in llm_dedup_simhash(spark, sf_dir, hamming_max=3).collect()
+    }
+    assert tight <= cand
