@@ -580,3 +580,54 @@ def test_stub_decode_oracle_mirror_and_no_magic_collisions(duck):
             "   OR text LIKE chr(137) || 'PNG%' OR text LIKE chr(255) || '%'"
         ).fetchone()[0]
         assert n == 0, f"{sf}: fixture text collides with image magic bytes"
+
+
+def test_approx_sketches_within_error_bounds_of_exact(spark, sf_dir):
+    """The three rows-only sketch keys have no oracle (engine-internal
+    estimates), so their QUALITY is pinned here instead: every estimate
+    must sit within its algorithm's published error envelope of the
+    exact answer computed on the same data.
+
+    - agg_approx_distinct: HLL++ at rsd=0.02 → allow 5σ = 10% per group.
+    - agg_hll_merge: Datasketches HLL default (lgK=12, ~1.6% rsd) →
+      allow 10%; the ALL row must also bound the union exactly the same.
+    - agg_approx_percentile: Greenwald-Khanna at accuracy 10000 → rank
+      error ≤ n/10000, checked as the exact percentile at ranks ±3·n/10000
+      bracketing the estimate (value-domain check via the exact sort).
+    """
+    from luxor_db_spark.registry import QUERIES
+    from pyspark.sql import functions as F
+    from luxor_db_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_all = ev.select("user_id").distinct().count()
+
+    for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect():
+        e = exact[r.event_type]
+        assert abs(r.approx_users - e) <= max(0.10 * e, 2), (r, e)
+
+    for r in QUERIES["agg_hll_merge"](spark, sf_dir).collect():
+        e = exact_all if r.event_type == "ALL" else exact[r.event_type]
+        assert abs(r.est_users - e) <= max(0.10 * e, 2), (r, e)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect():
+        vals = sorted(
+            x.l_extendedprice
+            for x in li.filter(F.col("l_returnflag") == r.l_returnflag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        slack = max(3 * n // 10000, 1)
+        for q, est in [(0.5, r.p50), (0.95, r.p95), (0.99, r.p99)]:
+            rank = int(q * (n - 1))
+            lo = vals[max(rank - slack, 0)]
+            hi = vals[min(rank + slack, n - 1)]
+            assert lo <= est <= hi, (r.l_returnflag, q, est, lo, hi)
