@@ -631,3 +631,39 @@ def test_approx_sketches_within_error_bounds_of_exact(spark, sf_dir):
             lo = vals[max(rank - slack, 0)]
             hi = vals[min(rank + slack, n - 1)]
             assert lo <= est <= hi, (r.l_returnflag, q, est, lo, hi)
+
+
+def test_output_modes_complete_equals_batch_and_sample_is_reproducible(
+    spark, sf_dir
+):
+    """Quality pins for the last two unpinned rows-only keys.
+
+    stream_output_modes: the complete-mode final table must equal the
+    batch aggregation of the same rows (complete re-emits full state),
+    and the update-mode emission count must be >= the group count (every
+    group emits at least once) — both are mode semantics, not fixture
+    accidents.
+
+    llm_sample_seeded: same seed => identical sample on static data (the
+    reproducibility that justifies a seeded sampler), and the sampled
+    fraction must sit inside a 5-sigma binomial envelope of 0.2.
+    """
+    from pyspark.sql import functions as F
+    from luxor_db_spark.catalog import load_table
+    from luxor_db_spark.registry import QUERIES
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r.event_type, r.n)
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = QUERIES["stream_output_modes"](spark, sf_dir).collect()
+    assert {(r.event_type, r.n) for r in rows} == batch
+    assert all(r.update_emissions >= len(batch) for r in rows)
+
+    s1 = {r.doc_id for r in QUERIES["llm_sample_seeded"](spark, sf_dir).collect()}
+    s2 = {r.doc_id for r in QUERIES["llm_sample_seeded"](spark, sf_dir).collect()}
+    assert s1 == s2
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    sigma = (n_docs * 0.2 * 0.8) ** 0.5
+    assert abs(len(s1) - 0.2 * n_docs) <= 5 * sigma
