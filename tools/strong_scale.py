@@ -60,6 +60,14 @@ EXPECTED_FLAT = {
         "with data/cores and the persist pins it to one pass - extra "
         "cores only add per-round task overhead to the tiny iterate"
     ),
+    "graph_cc_two_phase": (
+        "the graph is CONSTANT-SIZE by construction (doc_id % 97 -> "
+        "<= 97 nodes at every SF), so after the one parallel documents "
+        "scan the star-contraction rounds iterate a <= 97-edge frame: "
+        "per-round cost is task scheduling, which cores cannot speed up "
+        "(measured 3.45 s @4 -> 3.18 s @32). llm_dedup_cluster runs the "
+        "SAME kernel on the SF-scaled near-dup graph and speeds up 2.38x"
+    ),
 }
 
 # The de-weakened keys (should now scale with cores), the heavy
