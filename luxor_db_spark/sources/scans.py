@@ -519,39 +519,54 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_zorder")  # rows-only: part-file names are nondeterministic
+@query("sink_zorder")  # rows-only: a sink write, audited by re-read
 def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ordered layout write — the OPTIMIZE ZORDER pattern: compute the
     Morton key over (customer, order-day), range-partition + sort the
     write by it, so each output file owns a contiguous z-range and
     min/max file stats prune scans on EITHER dimension.
 
-    Returns the per-file clustering audit (file, rows, zmin, zmax) read
-    back through the `_metadata` column: a correct z-ordered layout has
-    NON-OVERLAPPING per-file z-ranges (asserted in tests/test_edge_cases),
-    which is exactly the property that makes row-group pruning effective.
+    Returns the per-bucket clustering audit (zbucket, rows, zmin, zmax)
+    read back from the written layout: a correct z-ordered layout has
+    NON-OVERLAPPING per-bucket z-ranges (asserted in
+    tests/test_edge_cases), which is exactly the property that makes
+    row-group and partition pruning effective.
+
+    Determinism (r6, caught by the registry-wide invariance sweep): the
+    original `repartitionByRange(8, zval)` draws its bounds from a
+    RANDOM sample, so per-file counts and min/max differed on every run
+    — invisible to the driver's rows-only check, fatal to the run-twice
+    doctrine (SURVEY §5b.6). The buckets now come from deterministic
+    `percentile_approx` cut points (Greenwald-Khanna, no RNG; 7 driver
+    scalars — dimension-bounded) and the write is `partitionBy(zbucket)`
+    so the physical layout itself is reproducible: each bucket directory
+    owns a fixed contiguous z-range.
     """
     from luxor_db_spark.registry import QUERIES
 
     z = QUERIES["fn_zorder"](spark, sf_dir)
+    cuts = z.select(
+        F.percentile_approx(
+            "zval", [i / 8 for i in range(1, 8)], 10000
+        ).alias("c")
+    ).first()["c"]
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (F.col("zval") > F.lit(c)).cast("int")
+    zb = z.withColumn("zbucket", bucket)
     out = _tmpdir("sink_zorder")
     (
-        z.repartitionByRange(8, "zval")
-        .sortWithinPartitions("zval")
+        zb.repartition("zbucket")
+        .sortWithinPartitions("zbucket", "zval")
         .write.mode("overwrite")
+        .partitionBy("zbucket")
         .parquet(out)
     )
     back = spark.read.parquet(out)
-    return (
-        back.select(
-            F.col("_metadata.file_name").alias("file_name"), "zval"
-        )
-        .groupBy("file_name")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.min("zval").alias("zmin"),
-            F.max("zval").alias("zmax"),
-        )
+    return back.groupBy(F.col("zbucket").cast("int").alias("zbucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("zval").alias("zmin"),
+        F.max("zval").alias("zmax"),
     )
 
 

@@ -45,6 +45,8 @@ KEYS = [
     "win_pareto",
     "agg_weighted_median",
     "llm_dedup_exact",
+    # sink re-read audits (part-file naming must not leak per-job UUIDs)
+    "sink_zorder",
     # streaming drains
     "stream_tumbling",
     "stream_dedup",
