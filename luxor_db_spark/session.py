@@ -16,6 +16,7 @@ Scale notes (the 100 TB story, BASELINE.json):
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import SparkSession
 
@@ -41,6 +42,19 @@ _RUNTIME_CONFS: dict[str, str] = {
 
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session."""
+    # Pin the PYTHON PROCESS timezone, not just the Spark session:
+    # PySpark's TimestampType.fromInternal renders collected timestamps
+    # through datetime.fromtimestamp — the OS timezone — so on a non-UTC
+    # host every TIMESTAMP cell shifts (e.g. 1999-01-01 00:00 UTC →
+    # "1998-12-31T19:00" under TZ=America/New_York) and hash-mismatches
+    # the oracle's naive-UTC wall times. Found by running the driver sim
+    # under TZ=America/New_York (4/8 sampled timestamp keys failed);
+    # every driver round so far ran on a UTC host, which is luck, not a
+    # contract. UTC wall times ARE this engine's output contract
+    # (SURVEY §7.3), so pinning the process TZ is semantics, not a tweak.
+    if hasattr(time, "tzset") and os.environ.get("TZ") != "UTC":
+        os.environ["TZ"] = "UTC"
+        time.tzset()
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)

@@ -667,3 +667,35 @@ def test_output_modes_complete_equals_batch_and_sample_is_reproducible(
     n_docs = load_table(spark, sf_dir, "documents").count()
     sigma = (n_docs * 0.2 * 0.8) ** 0.5
     assert abs(len(s1) - 0.2 * n_docs) <= 5 * sigma
+
+
+def test_collected_timestamps_are_utc_under_foreign_os_timezone():
+    """PySpark renders collected TIMESTAMP cells through the OS timezone
+    (datetime.fromtimestamp), so a non-UTC host shifts every timestamp
+    output (1999-01-01 00:00 UTC collected as 1998-12-31T19:00 under
+    TZ=America/New_York) and hash-mismatches the oracle. configure()
+    pins the PROCESS timezone to UTC; this spawns a fresh interpreter
+    with a foreign TZ and asserts a collected timestamp round-trips as
+    the UTC wall time."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import sys; sys.path.insert(0, {repo!r})
+from luxor_db_spark.session import get_spark
+spark = get_spark(app_name="tz-probe", shuffle_partitions=2)
+row = spark.sql("SELECT TIMESTAMP '1999-01-01 00:00:00' AS ts").first()
+assert row.ts.isoformat() == "1999-01-01T00:00:00", row.ts.isoformat()
+print("TZ-PIN-OK")
+""".format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env = dict(os.environ, TZ="America/New_York")
+    env.pop("SPARK_GRAFT_CPUS", None)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "TZ-PIN-OK" in out.stdout, (out.stdout[-500:], out.stderr[-1500:])
