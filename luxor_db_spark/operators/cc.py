@@ -7,7 +7,8 @@ per round, so it needs O(graph diameter) rounds — a 100 TB near-dup graph
 can contain template-document chains far longer than any fixed round cap,
 and a capped propagation loop returns silently WRONG labels on them.
 Star contraction rewires every edge toward a local minimum each round,
-collapsing paths multiplicatively: O(log n) rounds regardless of
+collapsing paths multiplicatively: O(log² n) proven / O(log n)
+typical rounds, regardless of
 diameter, each round plain groupBy/join/distinct on the (node, neighbor)
 grain (no driver-side graph state, no Python boundary).
 
@@ -63,10 +64,11 @@ def star_contract(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
     so rounds where the cardinality moved cost two counts and no join.
 
     Raises ``RuntimeError`` if the edge set has not reached its fixpoint
-    within ``max_rounds`` — contraction halves component heights per
-    alternation, so 32 rounds covers any physically storable graph; a
-    loud failure is the contract (the capped-propagation alternative
-    returns plausible-but-wrong labels instead).
+    within ``max_rounds`` — heights shrink geometrically in practice
+    (O(log² n) proven, O(log n) typical; Kiveris et al. §4), so 32
+    rounds covers any realistic graph, and if one ever exceeds it the
+    loud failure IS the contract (the capped-propagation alternative
+    returned plausible-but-wrong labels instead).
     """
     a, b = edges.columns[0], edges.columns[1]
     e = (

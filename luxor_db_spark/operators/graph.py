@@ -188,7 +188,8 @@ def graph_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds (Kiveris et al., "Connected Components in MapReduce and
     Beyond") — the heavy-duty CC for graphs whose diameter or skew makes
     plain label propagation slow: each round rewires edges toward local
-    minima, collapsing long paths in O(log n) rounds instead of
+    minima, collapsing long paths in polylog rounds (O(log² n) proven,
+    O(log n) typical) instead of
     O(diameter), and every step is a plain groupBy/join (no driver-side
     graph state).
 

@@ -1449,7 +1449,7 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     would have returned silently WRONG labels on a near-dup chain longer
     than 20 hops — the template-document topology a 100 TB corpus
     actually contains. Contraction collapses paths multiplicatively
-    (O(log n) rounds, diameter-independent) and raises instead of
+    (polylog rounds, diameter-independent) and raises instead of
     emitting unconverged labels. Per-round frames stay on the sparse
     |E(graph)| grain; the corpus-sized table is touched exactly once, by
     the final left join that fills in the isolated documents. Oracle:
