@@ -248,15 +248,20 @@ def llm_dedup_near(
                 "nsh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
             )
         )
-        # persist: both sides of the candidate self-join read pref; without
-        # it Spark derives the dfreq-join + two windows once PER SIDE (the
-        # broadcast side cannot ReuseExchange the partitioned side).
+        # localCheckpoint (not persist): both sides of the candidate
+        # self-join read pref; without pinning, Spark derives the
+        # dfreq-join + two windows once PER SIDE (the broadcast side
+        # cannot ReuseExchange the partitioned side). Checkpoint blocks
+        # are released by the ContextCleaner when the frame is GC'd —
+        # this path is looped by the measurement harnesses
+        # (tools/recall_curve.py per amplification factor), where a
+        # persist() would accumulate orphaned cache entries per call.
         pref = (
             ranked.filter(
                 F.col("rn") <= F.col("nsh") - F.ceil(F.col("nsh") * t) + 1
             )
             .select("doc_id", "s")
-            .persist()
+            .localCheckpoint(eager=True)
         )
         cand_pairs = (
             pref.alias("pa")

@@ -150,3 +150,67 @@ def numeric_class_drift(
         if _fatal(a, b):
             bad.append(f"{c}: spark={sorted(a)} oracle={sorted(b)}")
     return bad
+
+
+# --- canonicalization shared by the CI comparator and the sweep tools ---
+# Single source of truth: tests/conftest.assert_parity, tests/
+# test_invariance.py, and tools/invariance_sweep.py all canonicalize
+# through these, so "mismatch" means the same thing in CI and in the
+# registry-wide sweeps (a drifted copy would let a clean sweep stop
+# implying the CI invariant).
+
+
+def canon_cell(v) -> str:
+    """Canonical string form of one cell, robust to engine type quirks."""
+    import math
+    from datetime import date, datetime
+    from decimal import Decimal
+
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            v = 0.0  # normalize -0.0
+        # round to 6 decimals to absorb sub-round() representation noise;
+        # queries themselves already ROUND(·,4) computed floats.
+        return f"{v:.6f}".rstrip("0").rstrip(".")
+    if isinstance(v, Decimal):
+        return canon_cell(float(v))
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{" + ",".join(f"{k}:{canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+        )
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name, canonicalize cells, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+# Planner perturbations under which every result must be invariant
+# (SURVEY §5b.6). tests/test_invariance.py runs all of them on the
+# plan-sensitive key set per commit; tools/invariance_sweep.py runs the
+# three cheap ones registry-wide.
+PLANNER_PERTURBATIONS: dict[str, dict[str, str]] = {
+    "aqe_off": {"spark.sql.adaptive.enabled": "false"},
+    "no_autobroadcast": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    "npart_1": {"spark.sql.shuffle.partitions": "1"},
+    "npart_3": {"spark.sql.shuffle.partitions": "3"},
+    "npart_37": {"spark.sql.shuffle.partitions": "37"},
+}

@@ -52,9 +52,20 @@ def configure(spark: SparkSession) -> SparkSession:
     # every driver round so far ran on a UTC host, which is luck, not a
     # contract. UTC wall times ARE this engine's output contract
     # (SURVEY §7.3), so pinning the process TZ is semantics, not a tweak.
-    if hasattr(time, "tzset") and os.environ.get("TZ") != "UTC":
-        os.environ["TZ"] = "UTC"
-        time.tzset()
+    if os.environ.get("TZ") != "UTC":
+        if hasattr(time, "tzset"):
+            os.environ["TZ"] = "UTC"
+            time.tzset()
+        else:  # pragma: no cover — POSIX-only container in this repo
+            import warnings
+
+            warnings.warn(
+                "cannot pin the process timezone to UTC (no time.tzset "
+                "on this platform): collected TIMESTAMP cells will render "
+                "in the OS timezone and hash-mismatch UTC oracles",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)

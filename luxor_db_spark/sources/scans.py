@@ -532,36 +532,55 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_edge_cases), which is exactly the property that makes
     row-group and partition pruning effective.
 
-    Determinism (r6, caught by the registry-wide invariance sweep): the
-    original `repartitionByRange(8, zval)` draws its bounds from a
-    RANDOM sample, so per-file counts and min/max differed on every run
-    — invisible to the driver's rows-only check, fatal to the run-twice
-    doctrine (SURVEY §5b.6). The buckets now come from deterministic
-    `percentile_approx` cut points (Greenwald-Khanna, no RNG; 7 driver
-    scalars — dimension-bounded) and the write is `partitionBy(zbucket)`
-    so the physical layout itself is reproducible: each bucket directory
-    owns a fixed contiguous z-range.
+    Determinism (r6, caught by the registry-wide invariance sweep, then
+    tightened by review): the original `repartitionByRange(8, zval)`
+    draws its bounds from a RANDOM sample, so per-file counts and
+    min/max differed on every run — invisible to the driver's rows-only
+    check, fatal to the run-twice doctrine (SURVEY §5b.6). A first fix
+    used `percentile_approx` cut points, but merged Greenwald-Khanna
+    summaries are shuffle-arrival-order-sensitive once they compress
+    (>10k rows/partition), so the bounds could still move at exactly the
+    scales that matter. The buckets are now EQUAL-WIDTH Z-TILES over the
+    exact [min, max] z-range — min/max aggregation is order-independent,
+    so the layout is bit-reproducible at every scale, and fixed z-space
+    tiles are the canonical z-order file layout anyway (each directory
+    owns a static quadrant of the interleaved key space, which is what
+    makes min/max pruning composable across writes). `z` is persisted
+    across its two actions (bounds + write) so the Morton pipeline runs
+    once, and an empty input returns an empty audit frame instead of
+    iterating a NULL aggregate.
     """
     from luxor_db_spark.registry import QUERIES
 
-    z = QUERIES["fn_zorder"](spark, sf_dir)
-    cuts = z.select(
-        F.percentile_approx(
-            "zval", [i / 8 for i in range(1, 8)], 10000
-        ).alias("c")
-    ).first()["c"]
-    bucket = F.lit(0)
-    for c in cuts:
-        bucket = bucket + (F.col("zval") > F.lit(c)).cast("int")
-    zb = z.withColumn("zbucket", bucket)
-    out = _tmpdir("sink_zorder")
-    (
-        zb.repartition("zbucket")
-        .sortWithinPartitions("zbucket", "zval")
-        .write.mode("overwrite")
-        .partitionBy("zbucket")
-        .parquet(out)
-    )
+    z = QUERIES["fn_zorder"](spark, sf_dir).persist()
+    try:
+        bounds = z.agg(
+            F.min("zval").alias("lo"), F.max("zval").alias("hi")
+        ).first()
+        if bounds["lo"] is None:
+            return spark.createDataFrame(
+                [], "zbucket int, n_rows bigint, zmin bigint, zmax bigint"
+            )
+        lo, hi = int(bounds["lo"]), int(bounds["hi"])
+        width = max((hi - lo + 8) // 8, 1)
+        # integer `div`, not `/`: float division of wide Morton keys
+        # would round above 2^53 and mis-tile the extremes.
+        zb = z.withColumn(
+            "zbucket",
+            F.least(
+                F.expr(f"(zval - {lo}) div {width}").cast("int"), F.lit(7)
+            ),
+        )
+        out = _tmpdir("sink_zorder")
+        (
+            zb.repartition("zbucket")
+            .sortWithinPartitions("zbucket", "zval")
+            .write.mode("overwrite")
+            .partitionBy("zbucket")
+            .parquet(out)
+        )
+    finally:
+        z.unpersist()
     back = spark.read.parquet(out)
     return back.groupBy(F.col("zbucket").cast("int").alias("zbucket")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),

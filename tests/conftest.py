@@ -7,10 +7,7 @@ The parity harness here mirrors the driver's differential check
 
 from __future__ import annotations
 
-import math
 import os
-from datetime import date, datetime
-from decimal import Decimal
 
 import duckdb
 import pytest
@@ -44,41 +41,11 @@ def duck():
     con.close()
 
 
-def _canon_cell(v) -> str:
-    """Canonical string form of one cell, robust to engine type quirks."""
-    if v is None:
-        return "∅"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == 0.0:
-            v = 0.0  # normalize -0.0
-        # round to 6 decimals to absorb sub-round() representation noise;
-        # queries themselves already ROUND(·,4) computed floats.
-        return f"{v:.6f}".rstrip("0").rstrip(".")
-    if isinstance(v, Decimal):
-        return _canon_cell(float(v))
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{_canon_cell(x)}" for k, x in sorted(v.items())) + "}"
-    if isinstance(v, (bytes, bytearray)):
-        return v.hex()
-    return str(v)
-
-
-def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    """Sort columns by name, canonicalize cells, sort rows."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return out
+# Canonicalization lives in luxor_db_spark.parity so the CI comparator
+# and the registry-wide sweep tools share one definition of "equal"
+# (a drifted copy would let a clean sweep stop implying the CI invariant).
+from luxor_db_spark.parity import canon_cell as _canon_cell  # noqa: E402
+from luxor_db_spark.parity import canonical_rows  # noqa: E402,F401
 
 
 def assert_parity(sdf, duck_con, sql: str, key: str = "?") -> None:

@@ -45,7 +45,9 @@ KEYS = [
     "win_pareto",
     "agg_weighted_median",
     "llm_dedup_exact",
-    # sink re-read audits (part-file naming must not leak per-job UUIDs)
+    # sink re-read audits (bucket bounds must come from order-independent
+    # aggregates — sampled range bounds and merged GK sketches both move
+    # run-to-run)
     "sink_zorder",
     # streaming drains
     "stream_tumbling",

@@ -68,19 +68,13 @@ KEYS = {
     "llm_dedup_exact": "md5 hash-partition window",
 }
 
-PERTURBATIONS = {
-    "aqe_off": {"spark.sql.adaptive.enabled": "false"},
-    # Auto-broadcast disabled: every un-hinted join falls back to
-    # sort-merge/shuffle-hash. Catches results that accidentally depend
-    # on broadcast-join semantics or on AQE's broadcast promotion.
-    "no_autobroadcast": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
-    # npart_1 is the degenerate boundary: one range partition means the
-    # two_level_cumsum offset table is a single row and every halo bucket
-    # lands in one task — the pid arithmetic must still close.
-    "npart_1": {"spark.sql.shuffle.partitions": "1"},
-    "npart_3": {"spark.sql.shuffle.partitions": "3"},
-    "npart_37": {"spark.sql.shuffle.partitions": "37"},
-}
+# The shared ledger (luxor_db_spark.parity.PLANNER_PERTURBATIONS) is the
+# single definition also used by tools/invariance_sweep.py: aqe_off,
+# no_autobroadcast (joins fall back to sort-merge/shuffle-hash), and
+# shuffle-partition counts including the npart_1 degenerate boundary
+# (one range partition → a single-row offset table; the pid arithmetic
+# must still close).
+from luxor_db_spark.parity import PLANNER_PERTURBATIONS as PERTURBATIONS
 
 # Baseline (default-conf) canonical results, computed once per key.
 _BASELINE: dict[str, list[tuple]] = {}

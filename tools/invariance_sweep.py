@@ -21,54 +21,28 @@ Exit 1 on any mismatch or error.
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 import time
-from datetime import date, datetime
-from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from luxor_db_spark.parity import (  # noqa: E402
+    PLANNER_PERTURBATIONS,
+    canonical_rows,
+)
+
+# Registry-wide we run the three cheap modes; tests/test_invariance.py
+# additionally runs npart_1/npart_37 on the plan-sensitive key set. One
+# shared ledger (parity.PLANNER_PERTURBATIONS) defines both.
 PERTURBATIONS = {
-    "aqe_off": {"spark.sql.adaptive.enabled": "false"},
-    "no_autobroadcast": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
-    "npart_3": {"spark.sql.shuffle.partitions": "3"},
+    k: PLANNER_PERTURBATIONS[k]
+    for k in ("aqe_off", "no_autobroadcast", "npart_3")
 }
 
 
-def _cell(v) -> str:
-    if v is None:
-        return "∅"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == 0.0:
-            v = 0.0
-        return f"{v:.6f}".rstrip("0").rstrip(".")
-    if isinstance(v, Decimal):
-        return _cell(float(v))
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_cell(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{_cell(x)}" for k, x in sorted(v.items())) + "}"
-    if isinstance(v, (bytes, bytearray)):
-        return v.hex()
-    return str(v)
-
-
 def canon(df) -> list[tuple]:
-    cols = list(df.columns)
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    rows = [tuple(_cell(r[i]) for i in order) for r in df.collect()]
-    rows.sort()
-    return rows
+    return canonical_rows(list(df.columns), [tuple(r) for r in df.collect()])
 
 
 def main(argv: list[str]) -> int:
