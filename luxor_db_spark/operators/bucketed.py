@@ -127,9 +127,15 @@ def two_level_cumsum(
     Range-partition on (part_cols, order_cols), compute the local running
     sum per (part, pid), then add the broadcast exclusive prefix of
     per-(part, pid) totals over ascending pid. Exact when ``val`` is
-    integer/DECIMAL (order-independent addition). The ``persist()`` pins
-    ``spark_partition_id`` across the two branches that read it, exactly
-    as win_pareto documents. Rows whose (part+order) key ties may land in
+    integer/DECIMAL (order-independent addition). An eager
+    ``localCheckpoint`` pins ``spark_partition_id`` across the two branches
+    that read it (the win_pareto recipe) while letting the blocks be
+    GC-released when the frame goes out of scope — a plain ``persist``
+    here leaked one cached event-grain frame per call from
+    agg_gini/agg_weighted_median/win_ntile (r6 ADVICE). On a real cluster
+    an executor loss invalidates localCheckpoint blocks and fails the job
+    rather than silently recomputing with fresh (different) pids — the
+    failure mode we want. Rows whose (part+order) key ties may land in
     different pids with a different interleaving than a single-task sort
     would produce — use only when downstream logic is tie-insensitive
     (sums of the tied rows commute; see agg_weighted_median's pick
@@ -148,7 +154,7 @@ def two_level_cumsum(
     part = (
         df.repartitionByRange(npart, *cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     wloc = (
         Window.partitionBy(*part_cols, "_pid")

@@ -373,9 +373,18 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18
     )
-    # persist(): feat is read three times (fit + both approxSimilarityJoin
-    # sides); without the pin each reader re-shingles the whole corpus.
-    feat = tf.transform(d).select("doc_id", "features").persist()
+    # Eager localCheckpoint: feat is read three times (fit + both
+    # approxSimilarityJoin sides); without the pin each reader re-shingles
+    # the whole corpus. localCheckpoint (not persist) so the 2^18-dim
+    # sparse-vector blocks are GC-released when the frame goes out of
+    # scope — determinism tests and driver rounds invoke this repeatedly
+    # in one session, and a plain persist accumulated a cached copy per
+    # call (r6 ADVICE).
+    feat = (
+        tf.transform(d)
+        .select("doc_id", "features")
+        .localCheckpoint(eager=True)
+    )
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     )

@@ -63,6 +63,9 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map-only pass over the fact table. RANK = 1 + exclusive prefix count
     of smaller values; DENSE_RANK = the value's index in the sorted
     distinct list. Ties need no tiebreak: both functions are tie-stable.
+    rnk stays BIGINT: it comes from a SUM, not a window rank function, so
+    the bigint is free and a flag partition past 2^31 rows can't wrap
+    (native rank() shares IntegerType's limit; the ledger need not).
     """
     li = load_table(spark, sf_dir, "lineitem")
     cnts = li.groupBy("l_returnflag", "l_quantity").agg(
@@ -74,7 +77,7 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_quantity",
         (F.coalesce(F.sum("_cnt").over(wprev), F.lit(0)) + 1)
-        .cast("int")
+        .cast("bigint")
         .alias("rnk"),
         F.row_number().over(wled).alias("drnk"),
     )

@@ -135,8 +135,17 @@ def check_key(key, fn, oracle_sql, spark, con) -> dict:
         dv = [tuple(_canon_cell(c) for c in r) for r in cd.itertuples(index=False)]
         sv.sort()
         dv.sort()
-        out["hash_match"] = sv == dv and not drift
-        if out["rows_match"] and out["schema_match"] and out["hash_match"]:
+        # hash_match reports ONLY value-hash equality; dtype drift gates
+        # the status separately (r6 ADVICE: conflating them made the audit
+        # JSON show hash_match=false when the canonical strings matched,
+        # hiding which gate actually failed — dtype_drift is its own key).
+        out["hash_match"] = sv == dv
+        if (
+            out["rows_match"]
+            and out["schema_match"]
+            and out["hash_match"]
+            and not drift
+        ):
             out["status"] = "pass"
         else:
             out["status"] = "FAIL"
