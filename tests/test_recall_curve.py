@@ -114,11 +114,13 @@ def test_prefix_filter_recovers_pairs_the_df_cap_drops(spark, tmp_path):
 
 def test_ivf_recall_floor_and_nprobe_monotonicity(spark, sf_dir):
     """llm_ann_ivf quality pins (tools/ann_recall.py is the measurement
-    harness): the default 2-of-16 probe must keep recall@5 above the
-    floor measured on the isotropic fixture (0.38 at sf0.001 — the IVF
-    worst case, where recall tracks scanned fraction), and widening the
-    probe must recover recall. Catches a broken cell join or quantizer
-    regression, which would crater recall toward 0."""
+    harness): the shipped default (nprobe=8, the knee of the measured
+    curve — r7 moved it off the too-lossy nprobe=2) must keep recall@5
+    above the floor measured on the isotropic fixture (the IVF worst
+    case, where recall tracks scanned fraction), narrowing the probe
+    must not beat it, and every row must carry the nprobe it ran at so
+    consumers see the cost/recall trade. Catches a broken cell join or
+    quantizer regression, which would crater recall toward 0."""
     from tools.ann_recall import exact_top5
     from luxor_db_spark.operators.llm import llm_ann_ivf
 
@@ -134,10 +136,36 @@ def test_ivf_recall_floor_and_nprobe_monotonicity(spark, sf_dir):
         }
         return len(truth & got) / len(truth)
 
-    r_default, r_wide = recall(2), recall(8)
-    assert r_default >= 0.30, f"default-probe recall collapsed: {r_default}"
-    assert r_wide >= r_default, (r_default, r_wide)
-    assert r_wide >= 0.60, f"wide-probe recall too low: {r_wide}"
+    default_rows = llm_ann_ivf(spark, sf_dir).collect()
+    assert default_rows and all(r.nprobe == 8 for r in default_rows), (
+        "default nprobe not emitted as 8 on every row"
+    )
+    r_narrow, r_default = recall(2), recall(8)
+    assert r_default >= 0.60, f"default-probe recall collapsed: {r_default}"
+    assert r_default >= r_narrow, (r_narrow, r_default)
+    assert r_narrow >= 0.30, f"narrow-probe recall collapsed: {r_narrow}"
+
+
+def test_ivf_sample_then_fit_branch(spark, sf_dir, monkeypatch):
+    """Above _IVF_TRAIN_CAP vectors the coarse quantizer must train on
+    the deterministic hash downsample, not the corpus (the 100 TB fix,
+    r7). Force the branch by shrinking the cap below the fixture size:
+    the operator must still produce full top-5 result sets with nonzero
+    recall — sampled centroids change cell BOUNDARIES, never coverage —
+    and twice-run results must match (hash sample, not Bernoulli)."""
+    import luxor_db_spark.operators.llm as llm_mod
+    from tools.ann_recall import exact_top5
+
+    monkeypatch.setattr(llm_mod, "_IVF_TRAIN_CAP", 100)
+    truth = exact_top5(spark, sf_dir)
+    a = llm_mod.llm_ann_ivf(spark, sf_dir, nprobe=8)
+    rows = a.collect()
+    assert {(r.q_id, r.nb_id) for r in rows} == {
+        (r.q_id, r.nb_id) for r in llm_mod.llm_ann_ivf(spark, sf_dir, nprobe=8).collect()
+    }
+    got = {(r.q_id, r.nb_id) for r in rows}
+    assert len(rows) == 50  # 10 queries × top-5, nothing lost to sampling
+    assert len(truth & got) / len(truth) >= 0.30
 
 
 def test_minhash_ml_path_recall_and_precision_at_fixture(spark, sf_dir):
