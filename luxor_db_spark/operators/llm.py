@@ -419,16 +419,19 @@ def llm_dedup_simhash(
     Hamming 3 (pigeonhole: 3 flipped bits cannot touch all 4 blocks) and
     best-effort up to ``hamming_max``; verification is an exact popcount.
 
-    Honest fixture numbers (tests/test_recall_curve.py pins them): the
-    fixture documents are SHORT (~15 distinct tokens), which is
-    simhash's structural worst case — each bit's sign is a ±1 majority
-    over ~15 features, so even J ≥ 0.9 pairs land at Hamming 4–9 and
-    measured recall on that band is 0.70 at ``hamming_max=7`` (the old
-    equality form: 0.32 at comparable noise). Fingerprint concentration
-    needs feature-rich documents (Manku et al. operate on full web
-    pages); on short text `llm_dedup_minhash` (fixture recall 1.0) or
-    `llm_dedup_near` own the contract, and this key is the
-    cheap-fingerprint screen whose quality must be measured per corpus.
+    Measured quality, both regimes (tests/test_recall_curve.py pins
+    both): in the DESIGN regime — feature-rich documents, the Manku et
+    al. operating point — recall 1.0 AND precision 1.0 at J ≥ 0.9 on a
+    512-distinct-token corpus (binding floors 0.9/0.9; every true pair
+    lands at Hamming ≤ 5, unrelated docs near Hamming 32). The FIXTURE
+    documents are SHORT (~15 distinct tokens), simhash's structural
+    worst case — each bit's sign is a ±1 majority over ~15 features, so
+    even J ≥ 0.9 pairs land at Hamming 4–9 and measured recall there is
+    0.70 at ``hamming_max=7`` (the old equality form: 0.32). The gap is
+    owned by the corpus, not the implementation; on short text
+    `llm_dedup_minhash` (fixture recall 1.0) or `llm_dedup_near` own
+    the contract, and this key is the cheap-fingerprint screen whose
+    quality must be calibrated per corpus (hamming_max is the knob).
 
     Scale shape: per-bit signed sums are one map-combinable groupBy on
     doc_id (64 partial-agg columns); banding is an equi-join on
