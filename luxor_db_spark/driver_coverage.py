@@ -180,6 +180,7 @@ _LATE_FRESH: frozenset[str] = frozenset(
     llm_dataset_manifest scan_incremental_files ts_outlier_mad
     agg_weighted_median fn_interval_arith win_percent_of_total
     agg_argmax
+    profile_table_approx
     """.split()
 )
 
@@ -224,6 +225,14 @@ def expected_window(keys: list[str]) -> list[str]:
     return coverage_order(keys)[:WINDOW_SIZE]
 
 
+# Registry additions AFTER the r5 freeze (judge-approved only), key →
+# round added. expected_window_for_round excludes keys that postdate the
+# round it reconstructs — the live registry is no longer that round's.
+_ADDED_IN_ROUND: dict[str, int] = {
+    "profile_table_approx": 7,
+}
+
+
 def expected_window_for_round(keys: list[str], rnd: int) -> list[str]:
     """Reconstruct the window prediction round ``rnd``'s queries() was built
     from: the ledger as of rounds < rnd, same ordering policy. Valid only
@@ -244,8 +253,9 @@ def expected_window_for_round(keys: list[str], rnd: int) -> list[str]:
                 return window
         except (OSError, json.JSONDecodeError):
             pass
+    past_keys = [k for k in keys if _ADDED_IN_ROUND.get(k, 0) <= rnd]
     return coverage_order(
-        keys,
+        past_keys,
         _load_driver_checked(max_round=rnd - 1),
         stale=frozenset(),
     )[:WINDOW_SIZE]

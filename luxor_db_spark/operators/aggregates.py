@@ -923,6 +923,60 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("col", "n_rows", "n_non_null", "n_distinct", "min_v", "max_v")
 
 
+@query("profile_table_approx")  # rows-only: HLL estimates engine-internal
+def profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`profile_table`'s 100 TB form (r6 verdict #5: make the documented
+    "downgrade to sketches at scale" code, not prose): the identical
+    long-form per-column report, but distinct cardinalities come from
+    Datasketches HLL sketches (`hll_sketch_agg` → `hll_sketch_estimate`)
+    instead of exact `countDistinct`.
+
+    Why this is the scale path: exact multi-column distincts make
+    Catalyst expand every input row once PER distinct column (a 4-way
+    expand here — 4× the shuffled rows), and each distinct set must be
+    fully shuffled and held to dedup. The sketch form shuffles only
+    fixed-size (~KB) partial sketches per column — map-side combinable,
+    bounded memory at any row count — at the cost of ~1.6% standard
+    error (lgConfigK=12 default). Quality is pinned against the exact
+    twin (tests/test_properties.py::
+    test_profile_table_approx_matches_exact_within_hll_error: identical
+    non-distinct columns, ≤5% relative error on cardinality).
+
+    Sketch inputs are cast to string uniformly: HLL accepts
+    int/long/string/binary, not DECIMAL, and the string image is 1:1 for
+    these columns so cardinality is preserved. Rows-only: estimates are
+    engine-internal (DuckDB's approx_count_distinct uses a different
+    sketch). Cited parity target: profile_table (this file, above).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cols = ("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).cast("bigint").alias(f"{c}__nn"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col(c).cast("string"))
+            )
+            .cast("bigint")
+            .alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__min`, `{c}__max`" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col, n_non_null, n_distinct_est, min_v, max_v)"
+        ),
+        "n_rows",
+    ).select(
+        "col", "n_rows", "n_non_null", "n_distinct_est", "min_v", "max_v"
+    )
+
+
 @query("agg_hll_merge")  # rows-only: Datasketches HLL is engine-internal
 def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch infrastructure (Spark 4 Datasketches HLL): build

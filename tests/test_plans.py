@@ -567,6 +567,10 @@ def test_pagerank_iterations_run_on_pinned_edges(audit):
         # All column profiles in ONE multi-aggregate pass + stack();
         # the old form planned one full aggregate per profiled column.
         ("profile_table", "orders", 1),
+        # Sketch twin: same single-pass shape, HLL instead of expand —
+        # if it ever splits into per-column passes the sketch rewrite
+        # lost its point.
+        ("profile_table_approx", "orders", 1),
         # Per-row array tf + df folded into the 1-row stats aggregate;
         # the old explode/groupBy form planned 4 tokenize passes.
         ("llm_bm25_search", "documents", 2),

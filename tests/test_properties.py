@@ -539,3 +539,29 @@ def test_star_contract_long_chain_exceeds_propagation_cap(spark):
     rows = star_contract(df).collect()
     assert len(rows) == 60
     assert all(r["component"] == 0 for r in rows)
+
+
+def test_profile_table_approx_matches_exact_within_hll_error(spark, sf_dir):
+    """profile_table_approx (r7, the 100 TB sketch twin): everything but
+    the distinct column must be IDENTICAL to the exact profile, and the
+    HLL cardinality estimate must sit within 5% relative error of the
+    exact countDistinct per column (lgConfigK=12 ≈ 1.6% standard error;
+    the pin leaves ~3σ headroom)."""
+    from luxor_db_spark.operators.aggregates import (
+        profile_table,
+        profile_table_approx,
+    )
+
+    exact = {r.col: r for r in profile_table(spark, sf_dir).collect()}
+    approx = {r.col: r for r in profile_table_approx(spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a.n_rows, a.n_non_null, a.min_v, a.max_v) == (
+            e.n_rows,
+            e.n_non_null,
+            e.min_v,
+            e.max_v,
+        ), c
+        rel = abs(a.n_distinct_est - e.n_distinct) / max(e.n_distinct, 1)
+        assert rel <= 0.05, (c, a.n_distinct_est, e.n_distinct, rel)
