@@ -694,3 +694,46 @@ def test_gini_and_weighted_median_rank_via_range_partition(audit):
                 f"(constant-partition sort reintroduced): "
                 f"windowspecdefinition({s}"
             )
+
+
+def test_cbo_statistics_feed_the_optimizer(spark, sf_dir):
+    """SURVEY §4b's last untouched optimizer row (r6 verdict #6): the
+    catalog-statistics path. ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL
+    COLUMNS on a persisted table must (a) surface row/byte statistics in
+    the catalog, and (b) with spark.sql.cbo.enabled, flow into the
+    optimized plan's cost estimates — a column-stats equality filter must
+    carry a REDUCED rowCount estimate (1/ndv selectivity), which is
+    exactly what CostBasedJoinReorder consumes. File-relation size stats
+    exist without ANALYZE; rowCount + column NDVs are what ANALYZE adds."""
+    from luxor_db_spark.catalog import load_table
+
+    spark.sql("DROP TABLE IF EXISTS cbo_nation_stats_t")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "cbo_nation_stats_t"
+    )
+    cbo_old = spark.conf.get("spark.sql.cbo.enabled")
+    try:
+        spark.sql(
+            "ANALYZE TABLE cbo_nation_stats_t COMPUTE STATISTICS "
+            "FOR ALL COLUMNS"
+        )
+        desc = spark.sql("DESCRIBE TABLE EXTENDED cbo_nation_stats_t")
+        stats = {r.col_name: r.data_type for r in desc.collect()}
+        assert "Statistics" in stats, "ANALYZE left no catalog statistics"
+        assert "25 rows" in stats["Statistics"], stats["Statistics"]
+
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        base = spark.table("cbo_nation_stats_t")
+        rc = base._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        assert rc.isDefined() and int(str(rc.get())) == 25, (
+            "catalog rowCount did not reach the optimizer"
+        )
+        filtered = base.filter("n_regionkey = 0")
+        frc = filtered._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        assert frc.isDefined() and 0 < int(str(frc.get())) < 25, (
+            "column-stats selectivity not applied: CBO estimate is "
+            f"{frc} of 25 for an equality filter on a 5-NDV column"
+        )
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", cbo_old)
+        spark.sql("DROP TABLE IF EXISTS cbo_nation_stats_t")
