@@ -894,8 +894,10 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE pass over the table computing all per-column
     aggregates together (Catalyst expands the multi-distinct into an
     expand+aggregate, still a single scan); output is |columns| rows.
-    At 100 TB the exact distincts would downgrade to HLL sketches —
-    `agg_approx_distinct`/`agg_hll_merge` are that path.
+    At 100 TB the exact distincts downgrade to HLL sketches —
+    `profile_table_approx` (below) IS that form, quality-pinned ≤5%
+    against this one; `agg_approx_distinct`/`agg_hll_merge` are the
+    underlying machinery.
     """
     o = load_table(spark, sf_dir, "orders")
     cols = ("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
