@@ -82,6 +82,9 @@ HEADLINE = [
     "agg_countmin",
     "profile_table",
     "llm_bigram_lm_score",
+    # round 7 addition: the sketch twin, so exact-vs-HLL profiling cost
+    # stays visible side by side
+    "profile_table_approx",
 ]
 
 
