@@ -492,3 +492,28 @@ def test_no_unreviewed_constant_cardinality_window_partitions():
         "(with_trailing_halo / two_level_cumsum / a value ledger), then "
         f"add the function to this lint's ledger: {violations}"
     )
+
+
+def test_bench_quiet_gate_states(monkeypatch):
+    """bench._await_quiet (r7): quiet machines pass straight through,
+    a settling machine returns quiet_after_wait, and a machine that
+    never settles is flagged noisy — the three states BENCH_r{N}.json
+    consumers key on for cross-round comparability."""
+    import bench
+
+    monkeypatch.setattr(bench, "LOAD_MAX", 1.5)
+    monkeypatch.setattr(bench, "QUIESCE_WAIT_S", 1)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.4, 0, 0))
+    assert bench._await_quiet() == (0.4, "quiet")
+
+    loads = iter([4.0, 0.9])
+    monkeypatch.setattr(
+        bench.os, "getloadavg", lambda: (next(loads, 0.9), 0, 0)
+    )
+    assert bench._await_quiet() == (0.9, "quiet_after_wait")
+
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (7.3, 0, 0))
+    load, gate = bench._await_quiet()
+    assert gate == "noisy" and load == 7.3
