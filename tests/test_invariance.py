@@ -39,7 +39,7 @@ QUERIES = load_all_queries()
 
 # key -> the plan-sensitive machinery under test
 KEYS = {
-    # spark_partition_id + persist + range partitioning (two_level_cumsum)
+    # spark_partition_id + localCheckpoint + range partitioning (two_level_cumsum)
     "win_ntile": "two_level_cumsum pid closed form",
     "win_pareto": "two_level_cumsum running share",
     "agg_gini": "two_level_cumsum over (x, cust)",
