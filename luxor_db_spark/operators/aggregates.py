@@ -1047,14 +1047,16 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the crossing point is found by integer comparison (cumw·2 ≥ totw —
     no division), ties pinned by (price, wt) order.
 
-    Scale shape (r6 rewrite): the cumulative weight is a two-level prefix
-    sum (bucketed.two_level_cumsum) instead of a window partitioned only
-    by |o_orderpriority|=5; the group totals are a map-combinable 5-row
-    aggregate, broadcast. Tie argument for the pick: cumw rises along the
-    (price, wt) order, so the qualifying set is a SUFFIX of that order —
-    its minimum price is the first qualifying row's price no matter how
-    equal-(price, wt) rows interleave across range partitions, which is
-    why MIN(price) replaces the old rank-1 window exactly.
+    Scale shape (r6 rewrite, r8 kernel): the cumulative weight is a
+    two-level prefix sum (bucketed.two_level_cumsum, key-domain quantile
+    buckets — no pid pin, no materialization barrier) instead of a window
+    partitioned only by |o_orderpriority|=5; the group totals fall out of
+    the kernel's bucket ledger for free (``totals``). Tie argument for
+    the pick: cumw rises along the (price, wt) order, so the qualifying
+    set is a SUFFIX of that order — its minimum price is the first
+    qualifying row's price no matter how equal-(price, wt) rows
+    interleave across buckets, which is why MIN(price) replaces the old
+    rank-1 window exactly.
     """
     from luxor_db_spark.operators.bucketed import two_level_cumsum
 
@@ -1064,11 +1066,12 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
         (F.col("o_orderkey") % 5 + 1).cast("bigint").alias("wt"),
     )
-    c = two_level_cumsum(r, ["grp"], ["price", "wt"], F.col("wt"), out="cumw")
-    tot = r.groupBy("grp").agg(F.sum("wt").alias("totw"))
+    c = two_level_cumsum(
+        r, ["grp"], ["price", "wt"], F.col("wt"), out="cumw",
+        totals=("cumw",),
+    )
     return (
-        c.join(F.broadcast(tot), "grp")
-        .filter(F.col("cumw") * 2 >= F.col("totw"))
+        c.filter(F.col("cumw") * 2 >= F.col("cumw_tot"))
         .groupBy("grp")
         .agg(F.min("price").cast("double").alias("weighted_median"))
     )

@@ -528,101 +528,49 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips between engines.
 
     Scale shape: the per-customer rollup shrinks orders to entity grain
-    map-side FIRST. The global-order cumsum is then a RANGE-PARTITIONED
-    PREFIX SUM, never a single task: ``repartitionByRange`` on
-    (rev DESC, o_custkey) splits the total order into contiguous ranges,
-    each partition computes its local prefix sums in parallel (window
-    keyed on the range-partition id), and a bounded O(#partitions)
-    per-partition-totals table — the only single-partition window, over
-    ~32 rows — supplies the cross-partition offsets and grand total via
-    broadcast joins. Wall-clock scales with 1/#partitions instead of
-    serializing all entities through one window task.
+    map-side FIRST. The global-order cumsum is then the shared
+    bucketed.two_level_cumsum kernel — key-domain quantile buckets of the
+    (negated, so ascending) revenue, local prefix sums per bucket in
+    parallel, and a bounded O(#buckets) ledger supplying cross-bucket
+    offsets and the grand total via broadcast. Wall-clock scales with
+    1/#buckets instead of serializing all entities through one window
+    task. The DESC order is expressed by negating rev (exact for
+    DECIMAL), keeping the kernel ascending-only.
 
-    Determinism: range-partition *bounds* come from sampling, but results
+    Determinism: bucket *bounds* come from a quantile sketch, but results
     are invariant to where bounds fall — local run + exact-DECIMAL offset
     equals the global prefix sum for any split of a strict total order
     (o_custkey is unique at entity grain, so ties cannot straddle a
-    boundary ambiguously).
-
-    The partitioned frame is pinned with ``persist()`` because ``pid``
-    (spark_partition_id after a SAMPLED range repartition) feeds three
-    branches (loc, off, tot): correctness needs all three to see identical
-    bounds, which otherwise holds only while Catalyst's ReuseExchange
-    dedups the sampling Exchange. If reuse ever failed (exchange-reuse
-    disabled, AQE divergence, a branch edit), each branch would re-sample
-    bounds independently and pids would silently disagree across branches.
-    The cache collapses all branches onto one InMemoryRelation — the range
-    Exchange exists exactly once, so bound agreement is structural, not
-    optimizer-dependent; even an evicted-partition recompute re-reads the
-    SAME shuffle output (bounds are fixed when the exchange's map stage
-    runs). Unlike localCheckpoint, persist stays lazy and keeps the
-    lineage plan-visible (the range-partitioning plan test still sees it).
+    boundary ambiguously). r8: bucket ids are pure functions of the row
+    (boundary LITERALS collected once), so the old persist() pin — which
+    existed only because spark_partition_id after a sampled range
+    repartition could disagree across recomputations — is gone; the plan
+    is recompute-deterministic by construction.
     """
+    from luxor_db_spark.operators.bucketed import two_level_cumsum
+
     o = load_table(spark, sf_dir, "orders")
     r = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC))
         .cast("decimal(18,2)")
         .alias("rev")
-    )
-    # Track the session's shuffle sizing (cluster-tuned) instead of a
-    # constant: the two-level rewrite is correct for ANY partition count,
-    # and the offsets ledger stays O(npart).
-    try:
-        npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        npart = 32
-    part = r.repartitionByRange(
-        npart, F.col("rev").desc(), F.col("o_custkey")
-    ).withColumn("pid", F.spark_partition_id())
-    # Repeated invocations build the identical logical plan, and Spark's
-    # CacheManager dedupes persist() by analyzed plan — one cache entry per
-    # (session, sf_dir), not one per call.
-    part = part.persist()
+    ).withColumn("nrev", -F.col("rev"))
 
-    # Local prefix sums: one window task per range partition, in parallel.
-    wloc = Window.partitionBy("pid").orderBy(
-        F.col("rev").desc(), F.col("o_custkey")
-    )
-    wrun = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    loc = part.select(
-        "o_custkey",
-        "rev",
-        "pid",
-        F.sum("rev").over(wrun).alias("lrun"),
-        F.row_number().over(wloc).alias("lrk"),
-    )
-
-    # Per-partition totals: O(#partitions) rows. The cumulative-offset
-    # window below is single-partition but bounded (≤ npart rows).
-    ptot = part.groupBy("pid").agg(
-        F.sum("rev").alias("psum"), F.count(F.lit(1)).alias("pcnt")
-    )
-    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    off = ptot.select(
-        "pid",
-        F.coalesce(F.sum("psum").over(woff), F.lit(0).cast("decimal(38,2)"))
-        .alias("sum_off"),
-        F.coalesce(F.sum("pcnt").over(woff), F.lit(0).cast("bigint"))
-        .alias("cnt_off"),
-    )
-    tot = ptot.agg(F.sum("psum").alias("tot"))  # exactly one row
-
-    w = (
-        loc.join(F.broadcast(off), "pid")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "o_custkey",
-            "rev",
-            (F.col("lrun") + F.col("sum_off")).alias("run"),
-            (F.col("lrk") + F.col("cnt_off")).cast("int").alias("rk"),
-            "tot",
-        )
-    )
+    w = two_level_cumsum(
+        r,
+        [],
+        ["nrev", "o_custkey"],
+        vals={
+            "run": F.col("rev"),
+            "rk": F.lit(1).cast("bigint"),
+        },
+        totals=("run",),
+    ).withColumnRenamed("run_tot", "tot")
     share = F.col("run").cast("double") / F.col("tot").cast("double")
     return w.filter(share <= 0.8).select(
         "o_custkey",
         F.col("rev").cast("double").alias("rev"),
-        "rk",
+        F.col("rk").cast("int").alias("rk"),
         share.alias("cum_share"),
     )
 

@@ -95,59 +95,47 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global ntile WITHOUT a global-sort single task: the win_pareto
-    two-level recipe (range-partition on the sort key, local row_number
-    per range, broadcast exclusive per-partition count offsets) yields
-    each row's GLOBAL rank rk at npart-way parallelism, and NTILE(k) is a
-    closed form of (rk, n): with q = n div k, r = n mod k, the first r
-    tiles hold q+1 rows, so
+    """Global ntile WITHOUT a global-sort single task: the shared
+    bucketed.two_level_cumsum kernel (key-domain quantile buckets, local
+    row_number per bucket, broadcast exclusive bucket-count offsets)
+    yields each row's GLOBAL rank rk — and the total n for free via
+    ``totals`` — at #buckets-way parallelism. NTILE(k) is then a closed
+    form of (rk, n): with q = n div k, r = n mod k, the first r tiles
+    hold q+1 rows, so
     tile = ceil(rk/(q+1))                    for rk ≤ r·(q+1)
          = r + ceil((rk − r·(q+1))/q)        otherwise
     computed in exact BIGINT arithmetic (ceil(a/b) = (a+b−1) div b) — no
     floats, engine-portable. (o_totalprice, o_orderkey) is a strict total
     order, so ranks — and therefore tiles — are deterministic under any
-    range split. The persist() pins spark_partition_id across the three
-    branches exactly as win_pareto documents.
+    bucket split. r8: bucket ids are pure functions of the row (quantile
+    literals), so no persist/localCheckpoint pin is needed — the plan is
+    recompute-deterministic by construction.
     """
+    from luxor_db_spark.operators.bucketed import two_level_cumsum
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    try:
-        npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        npart = 32
-    part = o.repartitionByRange(
-        npart, F.col("o_totalprice"), F.col("o_orderkey")
-    ).withColumn("pid", F.spark_partition_id())
-    part = part.persist()
-
-    wloc = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
-    loc = part.withColumn("lrk", F.row_number().over(wloc))
-
-    pcnt = part.groupBy("pid").agg(F.count(F.lit(1)).alias("pcnt"))
-    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    off = pcnt.select(
-        "pid",
-        F.coalesce(F.sum("pcnt").over(woff), F.lit(0).cast("bigint"))
-        .alias("cnt_off"),
-    )
-    tot = pcnt.agg(F.sum("pcnt").alias("n"))  # exactly one row
+    rk = two_level_cumsum(
+        o,
+        [],
+        ["o_totalprice", "o_orderkey"],
+        F.lit(1).cast("bigint"),
+        out="rk_",
+        totals=("rk_",),
+    ).withColumnRenamed("rk__tot", "n")
 
     k = F.lit(4).cast("bigint")
-    rk = (F.col("lrk") + F.col("cnt_off")).cast("bigint")
     q = F.expr("n div 4")
     r = F.col("n") % k
     big = q + F.lit(1)
-    in_big = rk <= r * big
+    in_big = F.col("rk_") <= r * big
     # exact integer ceil-div in both branches
     tile = F.when(
         in_big, F.expr("(rk_ + big_ - 1) div big_")
     ).otherwise(r + F.expr("(rk_ - r_ * big_ + q_ - 1) div q_"))
     return (
-        loc.join(F.broadcast(off), "pid")
-        .crossJoin(F.broadcast(tot))
-        .withColumn("rk_", rk)
-        .withColumn("q_", q)
+        rk.withColumn("q_", q)
         .withColumn("r_", r)
         .withColumn("big_", big)
         .select(

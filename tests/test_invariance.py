@@ -39,8 +39,8 @@ QUERIES = load_all_queries()
 
 # key -> the plan-sensitive machinery under test
 KEYS = {
-    # spark_partition_id + localCheckpoint + range partitioning (two_level_cumsum)
-    "win_ntile": "two_level_cumsum pid closed form",
+    # key-domain quantile buckets, pin-free (two_level_cumsum, r8)
+    "win_ntile": "two_level_cumsum ntile closed form",
     "win_pareto": "two_level_cumsum running share",
     "agg_gini": "two_level_cumsum over (x, cust)",
     "agg_weighted_median": "two_level_cumsum pick row",

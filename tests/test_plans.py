@@ -277,27 +277,33 @@ def test_bm25_broadcasts_small_sides(audit):
     )
 
 
-def test_pareto_prefix_sum_is_range_partitioned(audit):
-    """win_pareto's global-order cumsum must be the two-level prefix sum:
-    entity rows flow through a range partitioner and a window keyed on the
-    range-partition id (parallel), never through an unpartitioned window.
-    The only windowspec allowed to order by rev without a pid partition key
-    would be the old single-task shape — assert it is gone. The bounded
-    offsets window (≤ npart rows, ordered by pid) is exempt: it never
-    touches entity-grain data."""
+def test_pareto_prefix_sum_is_bucket_partitioned(audit):
+    """win_pareto's global-order cumsum must be the two-level prefix sum
+    (r8 kernel): entity rows carry a key-domain bucket id (quantile
+    literals on the negated revenue) and every window that touches the
+    entity-grain order is keyed by that bucket — never an unpartitioned
+    window. No pid, no persist pin: the bucket is a pure function of the
+    row. The bounded offsets window (≤ #buckets rows, ordered by _bkt)
+    is exempt: it never touches entity-grain data — and it too carries
+    _bkt (as its ordering), so the blanket assertion below covers it."""
     import re
 
     a = audit("win_pareto")
-    assert "rangepartitioning(rev" in a.text, (
-        "expected repartitionByRange on rev in the plan"
+    assert "_pid#" not in a.text and "localCheckpoint" not in a.text, (
+        "the pid/persist pin is back — win_pareto must use key-domain "
+        "bucket literals"
+    )
+    assert "CASE WHEN" in a.text and "_bkt#" in a.text, (
+        "expected the quantile-literal bucket expression (_bkt)"
     )
     specs = re.findall(r"windowspecdefinition\(([^)]*)", a.text)
-    rev_specs = [s for s in specs if "rev#" in s]
-    assert rev_specs, "expected a window over rev"
-    for s in rev_specs:
-        assert s.lstrip().startswith("pid#"), (
-            f"window over rev is not partitioned by pid (single-task "
-            f"global window reintroduced): windowspecdefinition({s}"
+    ent_specs = [s for s in specs if "nrev#" in s or "rev#" in s]
+    assert ent_specs, "expected a window over the revenue order"
+    for s in ent_specs:
+        assert "_bkt#" in s, (
+            f"window over rev not keyed by the key-domain bucket "
+            f"(single-task global window reintroduced): "
+            f"windowspecdefinition({s}"
         )
 
 
@@ -606,24 +612,32 @@ def test_rrf_ranks_candidate_lists_not_corpus(audit):
     )
 
 
-def test_ntile_rank_is_range_partitioned(audit):
-    """win_ntile's global rank must be the two-level form: range partition
-    on the sort key, row_number windowed by the range-partition id — never
-    a single-task unpartitioned NTILE/row_number over the fact table. The
-    bounded offsets window (ordered by pid over ≤ npart rows) is exempt."""
+def test_ntile_rank_is_bucket_partitioned(audit):
+    """win_ntile's global rank must be the two-level form (r8 kernel):
+    key-domain bucket literals on the sort key, the running count
+    windowed by the bucket id — never a single-task unpartitioned
+    NTILE/row_number over the fact table, and no pid/persist pin. The
+    bounded offsets window (ordered by _bkt over ≤ #buckets rows) is
+    exempt — it carries _bkt as its ordering, so the blanket assertion
+    covers it."""
     import re
 
     a = audit("win_ntile")
-    assert "rangepartitioning(o_totalprice" in a.text, (
-        "expected repartitionByRange on o_totalprice in the plan"
+    assert "_pid#" not in a.text and "localCheckpoint" not in a.text, (
+        "the pid/persist pin is back — win_ntile must use key-domain "
+        "bucket literals"
+    )
+    assert "CASE WHEN" in a.text and "_bkt#" in a.text, (
+        "expected the quantile-literal bucket expression (_bkt)"
     )
     specs = re.findall(r"windowspecdefinition\(([^)]*)", a.text)
     price_specs = [s for s in specs if "o_totalprice#" in s]
     assert price_specs, "expected a window ordered by o_totalprice"
     for s in price_specs:
-        assert s.lstrip().startswith("pid#"), (
-            f"window over o_totalprice not partitioned by pid (single-task "
-            f"global ntile reintroduced): windowspecdefinition({s}"
+        assert "_bkt#" in s, (
+            f"window over o_totalprice not keyed by the key-domain bucket "
+            f"(single-task global ntile reintroduced): "
+            f"windowspecdefinition({s}"
         )
 
 
@@ -667,30 +681,37 @@ def test_percent_of_total_is_window_free(audit):
     a.assert_broadcasts(at_least=2)
 
 
-def test_gini_and_weighted_median_rank_via_range_partition(audit):
-    """agg_gini / agg_weighted_median (r6): the rank / cumulative weight
-    must be the two_level_cumsum shape — a range partitioning on
-    (part, order) with the running window keyed by the partition id —
-    never a window partitioned only by the constant-cardinality group.
-    r7: two_level_cumsum pins its range-partitioned frame with an eager
-    localCheckpoint (GC-released, vs the r6 persist that leaked one cached
-    event-grain frame per call), which truncates lineage — so the
-    range-partition step is evidenced by the checkpoint RDD scan, and the
-    anti-regression bite stays in the windowspec checks: every window
-    must be keyed by the range-partition id."""
+def test_gini_and_weighted_median_rank_via_key_buckets(audit):
+    """agg_gini / agg_weighted_median (r6 two-level rewrite, r8 kernel):
+    the rank / cumulative weight must be the two_level_cumsum shape — a
+    KEY-DOMAIN bucket id (quantile boundary literals on the leading
+    order column) with every event-grain running window keyed by that
+    bucket — never a window partitioned only by the constant-cardinality
+    group. r8 (judge ask #1): the bucket id is a pure function of row
+    values, so the plan needs NO pin — the old localCheckpoint
+    materialization barrier and the pid column must both be gone; their
+    reappearance means the recompute-nondeterministic recipe is back."""
     import re
 
-    for key in ("agg_gini", "agg_weighted_median"):
+    # key -> the leading order column of its event-grain window: any spec
+    # touching it must be bucket-keyed. Ledger windows (wprev/wall over
+    # ≤ #parts × #buckets rows) never reference it and are exempt.
+    for key, lead in (("agg_gini", "x#"), ("agg_weighted_median", "price#")):
         a = audit(key)
-        assert "localCheckpoint" in a.text, (
-            f"{key}: expected the two_level_cumsum localCheckpoint scan "
-            f"(range-partitioned pid frame) in the plan"
+        assert "localCheckpoint" not in a.text and "_pid#" not in a.text, (
+            f"{key}: the pid/checkpoint pin is back — two_level_cumsum "
+            f"must derive buckets from key-domain boundary literals"
+        )
+        assert "CASE WHEN" in a.text and "_bkt#" in a.text, (
+            f"{key}: expected the quantile-literal bucket expression "
+            f"(_bkt) in the plan"
         )
         specs = re.findall(r"windowspecdefinition\(([^)]*)", a.text)
-        assert specs, f"{key}: expected the local running window"
-        for s in specs:
-            assert "_pid#" in s or s.lstrip().startswith("_pid"), (
-                f"{key}: window not keyed by the range-partition id "
+        ev_specs = [s for s in specs if lead in s]
+        assert ev_specs, f"{key}: expected the local running window"
+        for s in ev_specs:
+            assert "_bkt#" in s, (
+                f"{key}: window not keyed by the key-domain bucket "
                 f"(constant-partition sort reintroduced): "
                 f"windowspecdefinition({s}"
             )
