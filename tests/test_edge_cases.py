@@ -699,3 +699,31 @@ print("TZ-PIN-OK")
         timeout=300,
     )
     assert "TZ-PIN-OK" in out.stdout, (out.stdout[-500:], out.stderr[-1500:])
+
+
+def test_incremental_audit_survives_coarse_mtime_ticks(spark, tmp_path):
+    """r7 verdict ask #7: the incremental-files watermark must classify
+    correctly even when BOTH deliveries land within one filesystem
+    timestamp tick (1-second granularity mocked by os.utime-stamping
+    every file to the same whole second). The strictly-greater mtime
+    comparison alone calls the second delivery old; the boundary-tick
+    path manifest must rescue it."""
+    import os
+
+    from luxor_db_spark.sources.scans import incremental_audit
+
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    spark.range(200).write.mode("overwrite").parquet(d1)
+    spark.range(400).write.mode("overwrite").parquet(d2)
+    # mock a 1-second-granularity filesystem: same whole-second mtime
+    # on every file of both deliveries
+    tick = 1_700_000_000
+    for root in (d1, d2):
+        for name in os.listdir(root):
+            os.utime(os.path.join(root, name), (tick, tick))
+
+    audit = {
+        r.is_new: r.n_rows
+        for r in incremental_audit(spark, [d1, d2], "/d1/").collect()
+    }
+    assert audit == {False: 200, True: 400}, audit
