@@ -181,6 +181,7 @@ _LATE_FRESH: frozenset[str] = frozenset(
     agg_weighted_median fn_interval_arith win_percent_of_total
     agg_argmax
     profile_table_approx
+    llm_simhash_eval
     """.split()
 )
 

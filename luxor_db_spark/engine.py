@@ -82,6 +82,19 @@ class LuxorEngine:
         load_all_queries()
         return ORACLES.get(key)
 
+    def profile(self, table: str, cols: list[str] | None = None) -> DataFrame:
+        """ANALYZE any catalog table (r7 verdict ask #8): per column — row
+        count, non-null count, exact distinct cardinality, min/max — as
+        one single-scan long-form report (the ``profile_table`` plan
+        generalized; see ``operators.aggregates.profile_frame``).
+        ``cols=None`` profiles every supported column; complex-typed
+        columns (array/map/struct/binary) are skipped explicitly, and
+        naming one raises TypeError. At 100 TB prefer the HLL twin
+        (``run("profile_table_approx")``) for the distincts."""
+        from luxor_db_spark.operators.aggregates import profile_frame
+
+        return profile_frame(self.table(table), cols)
+
     # --- introspection -----------------------------------------------------
 
     def schema(self, name: str):

@@ -854,6 +854,62 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_frame(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """The generalized ANALYZE pass behind ``profile_table`` and
+    ``LuxorEngine.profile`` (r7 verdict ask #8): per column, row count,
+    non-null count, exact distinct cardinality, min/max — ONE scan of
+    ``df`` computing every per-column aggregate together, reshaped to
+    long form with ``stack()`` (|columns| rows out of the one aggregated
+    row). Values stringify so one report covers heterogeneous types.
+
+    Complex-typed columns (array/map/struct/binary) are SKIPPED
+    explicitly when ``cols`` is None — min/max ordering across engines
+    is not well-defined for them — and requesting one raises TypeError
+    rather than profiling it wrong. At 100 TB swap the exact distincts
+    for the HLL-sketch twin (``profile_table_approx``)."""
+    from pyspark.sql import types as T
+
+    complex_types = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+    by_name = {f.name: f for f in df.schema.fields}
+    profilable = [
+        n for n, f in by_name.items()
+        if not isinstance(f.dataType, complex_types)
+    ]
+    if cols is None:
+        cols = profilable
+    else:
+        unknown = [c for c in cols if c not in by_name]
+        if unknown:
+            raise KeyError(f"no such column(s): {unknown}")
+        bad = [c for c in cols if c not in profilable]
+        if bad:
+            raise TypeError(
+                f"unsupported column type(s) for profiling (array/map/"
+                f"struct/binary): {bad}"
+            )
+    if not cols:
+        raise ValueError("no profilable columns")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).cast("bigint").alias(f"{c}__nn"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__min`, `{c}__max`" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col, n_non_null, n_distinct, min_v, max_v)"
+        ),
+        "n_rows",
+    ).select("col", "n_rows", "n_non_null", "n_distinct", "min_v", "max_v")
+
+
 @query(
     "profile_table",
     oracle="""
@@ -897,32 +953,14 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the exact distincts downgrade to HLL sketches —
     `profile_table_approx` (below) IS that form, quality-pinned ≤5%
     against this one; `agg_approx_distinct`/`agg_hll_merge` are the
-    underlying machinery.
+    underlying machinery. r8: the plan builder is the shared
+    :func:`profile_frame` (``LuxorEngine.profile`` exposes it for ANY
+    catalog table); this registry key stays fixture-shaped.
     """
     o = load_table(spark, sf_dir, "orders")
-    cols = ("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
-    for c in cols:
-        aggs += [
-            F.count(c).cast("bigint").alias(f"{c}__nn"),
-            F.countDistinct(c).cast("bigint").alias(f"{c}__nd"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
-        ]
-    wide = o.agg(*aggs)
-    # Long form via stack(): |columns| rows out of the ONE aggregated row —
-    # the earlier union-of-per-column-aggregates form scanned orders once
-    # per column (4 full passes).
-    stack_args = ", ".join(
-        f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__min`, `{c}__max`" for c in cols
+    return profile_frame(
+        o, ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
     )
-    return wide.select(
-        F.expr(
-            f"stack({len(cols)}, {stack_args}) AS "
-            "(col, n_non_null, n_distinct, min_v, max_v)"
-        ),
-        "n_rows",
-    ).select("col", "n_rows", "n_non_null", "n_distinct", "min_v", "max_v")
 
 
 @query("profile_table_approx")  # rows-only: HLL estimates engine-internal

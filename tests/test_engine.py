@@ -517,3 +517,48 @@ def test_bench_quiet_gate_states(monkeypatch):
     monkeypatch.setattr(bench.os, "getloadavg", lambda: (7.3, 0, 0))
     load, gate = bench._await_quiet()
     assert gate == "noisy" and load == 7.3
+
+
+def test_profile_any_table_single_scan(eng):
+    """r8 (judge ask #8): LuxorEngine.profile builds the profile_table
+    plan for ANY catalog table — three tables including the array-typed
+    embeddings, where the complex column must be skipped explicitly and
+    the remaining columns still profile in one scan."""
+    import duckdb
+
+    # (a) nation: full default profile, cross-checked against DuckDB
+    rows = {r.col: r for r in eng.profile("nation").collect()}
+    assert set(rows) == {"n_nationkey", "n_name", "n_regionkey"}
+    duck = duckdb.connect()
+    want = duck.execute(
+        "SELECT COUNT(*), COUNT(DISTINCT n_regionkey), "
+        "CAST(MIN(n_name) AS VARCHAR) FROM "
+        f"read_parquet('{eng.sf_dir}/nation.parquet')"
+    ).fetchone()
+    r = rows["n_regionkey"]
+    assert (r.n_rows, r.n_distinct) == (want[0], want[1])
+    assert rows["n_name"].min_v == want[2]
+
+    # (b) orders with a column subset — matches the registry key's output
+    sub = eng.profile(
+        "orders", ["o_custkey", "o_orderstatus", "o_totalprice",
+                   "o_orderpriority"]
+    )
+    key = eng.run("profile_table")
+    assert sorted(map(tuple, sub.collect())) == sorted(
+        map(tuple, key.collect())
+    )
+
+    # (c) embeddings: array column skipped by default, profilable columns
+    # still work; asking for the array explicitly is a typed refusal
+    prof = {r.col: r for r in eng.profile("embeddings").collect()}
+    assert "embedding" not in prof and "vec_id" in prof
+    assert prof["vec_id"].n_distinct == prof["vec_id"].n_rows  # unique id
+    with pytest.raises(TypeError, match="embedding"):
+        eng.profile("embeddings", ["embedding"])
+    with pytest.raises(KeyError):
+        eng.profile("embeddings", ["no_such_col"])
+
+    # single scan: exactly one aggregate chain over one FileScan
+    plan = eng.profile("nation")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
