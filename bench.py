@@ -85,6 +85,10 @@ HEADLINE = [
     # round 7 addition: the sketch twin, so exact-vs-HLL profiling cost
     # stays visible side by side
     "profile_table_approx",
+    # round 8 additions: the driver-visible simhash quality audit and the
+    # real-pixel-path resize (decode + resample now do actual pixel work)
+    "llm_simhash_eval",
+    "mm_resize",
 ]
 
 
