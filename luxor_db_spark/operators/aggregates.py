@@ -702,13 +702,25 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: orders collapse to customer grain FIRST (map-combinable
     rollup — the only fact-table shuffle), and the nation lookup joins
-    the 100×-smaller entity rollup, not the order rows. The rank is a
-    two-level prefix count (bucketed.two_level_cumsum over the strict
-    total order (x, cust)) rather than a window partitioned only by
+    the 100×-smaller entity rollup, not the order rows. The rank uses
+    the two-level key-domain buckets of bucketed.order_buckets (r8:
+    pin-free quantile literals) rather than a window partitioned only by
     |nation|=25 — r6 rewrite: the old shape sorted N/25 customers per
     task regardless of cluster size.
+
+    r8 fusion: gini never needs the per-row GLOBAL rank joined back —
+    with local rank lᵢ inside a (nation, bucket) cell and the cell's
+    exclusive prefix count `off`, Σᵢ rankᵢ·xᵢ over the cell equals
+    Σ lᵢ·xᵢ + off·Σxᵢ (rank = lᵢ + off, and off is constant per cell).
+    So the rows are windowed ONCE and immediately collapsed to a
+    per-cell ledger (A = Σ lᵢ·xᵢ, B = Σx, n) — the offset arithmetic,
+    the grand totals, and the gini formula all run on the tiny ledger.
+    One event-grain shuffle, no broadcast join back to rows. Exact:
+    lᵢ is an integer rank over the strict total order (x, cust), x is
+    DECIMAL, so A, B and off·B are exact DECIMAL until the one final
+    double division.
     """
-    from luxor_db_spark.operators.bucketed import two_level_cumsum
+    from luxor_db_spark.operators.bucketed import BKT, order_buckets
 
     o = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
@@ -722,13 +734,28 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = per_cust.join(
         cust, per_cust.cust == cust.c_custkey
     ).select(F.col("c_nationkey").alias("nation"), "cust", "x")
-    rk = two_level_cumsum(
-        r, ["nation"], ["x", "cust"], F.lit(1).cast("bigint"), out="i"
-    ).select("nation", "x", "i")
-    n = F.count(F.lit(1))
-    six = F.sum(F.col("i") * F.col("x")).cast("double")
-    sx = F.sum("x").cast("double")
-    return rk.groupBy("nation").agg(
+    b = order_buckets(r, "x")
+    word = Window.partitionBy("nation", BKT).orderBy("x", "cust")
+    li = b.withColumn("li", F.row_number().over(word).cast("long"))
+    cell = li.groupBy("nation", BKT).agg(
+        F.sum(F.col("li").cast("decimal(20,0)") * F.col("x")).alias("A"),
+        F.sum("x").alias("B"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    wprev = (
+        Window.partitionBy("nation")
+        .orderBy(BKT)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    led = cell.withColumn(
+        "off", F.coalesce(F.sum("n").over(wprev), F.lit(0).cast("long"))
+    )
+    n = F.sum("n")
+    six = F.sum(
+        F.col("A") + F.col("off").cast("decimal(20,0)") * F.col("B")
+    ).cast("double")
+    sx = F.sum("B").cast("double")
+    return led.groupBy("nation").agg(
         n.cast("bigint").alias("n_customers"),
         q4((2.0 * six - (n + 1) * sx) / (n * sx)).alias("gini"),
     )

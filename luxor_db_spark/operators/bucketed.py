@@ -156,6 +156,44 @@ def order_bucket_bounds(
     return bounds
 
 
+def order_buckets(
+    df: DataFrame, lead_col: str, npart: int | None = None
+) -> DataFrame:
+    """``df`` + :data:`BKT`: the key-domain bucket id — the count of
+    quantile boundary literals strictly below ``lead_col`` (NULLs land
+    in bucket 0, matching ASC NULLS FIRST). Pure function of the row, so
+    downstream plans are recompute-deterministic with no pin. Factored
+    out of :func:`two_level_cumsum` so operators that can FUSE the
+    offset arithmetic into their own aggregate grain (agg_gini's
+    Σ(lᵢ+off)·x = A + off·B ledger form) reuse the bucketing without
+    paying the kernel's per-row offset join."""
+    if npart is None:
+        spark = df.sparkSession
+        try:
+            npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            npart = 32
+    bounds = order_bucket_bounds(df, lead_col, npart)
+    if bounds:
+        # One F.expr over a generated CASE-WHEN sum — a plain expression
+        # tree, not an array HOF (lambda captures of outer attributes
+        # mis-bind through aggregates/joins on Spark 4.x), and ONE py4j
+        # call instead of ~3 per boundary (the F.when chain added ~0.1 s
+        # of driver-side plan construction per invocation). NULL v > b
+        # is NULL → 0. repr(float) is roundtrip-exact, so the parsed
+        # literals equal the collected doubles bit-for-bit.
+        v = f"CAST(`{lead_col}` AS DOUBLE)"
+        bkt = F.expr(
+            " + ".join(
+                f"(CASE WHEN {v} > {x!r} THEN 1 ELSE 0 END)"
+                for x in bounds
+            )
+        )
+    else:
+        bkt = F.lit(0)
+    return df.withColumn(BKT, bkt)
+
+
 def two_level_cumsum(
     df: DataFrame,
     part_cols: list[str],
@@ -206,25 +244,7 @@ def two_level_cumsum(
     """
     if vals is None:
         vals = {out: val}
-    if npart is None:
-        spark = df.sparkSession
-        try:
-            npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        except (TypeError, ValueError):
-            npart = 32
-    bounds = order_bucket_bounds(df, order_cols[0], npart)
-    if bounds:
-        # plain expression tree (a sum of CASE WHENs), not an array HOF:
-        # lambda captures of outer attributes mis-bind through the
-        # aggregate/join below on Spark 4.x. NULL v > b is NULL → 0.
-        v = F.col(order_cols[0]).cast("double")
-        bkt = sum(
-            (F.when(v > F.lit(x), 1).otherwise(0) for x in bounds),
-            F.lit(0),
-        )
-    else:
-        bkt = F.lit(0)
-    b = df.withColumn(BKT, bkt)
+    b = order_buckets(df, order_cols[0], npart)
     word = Window.partitionBy(*part_cols, BKT).orderBy(*order_cols)
     wloc = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wcell = Window.partitionBy(*part_cols, BKT)

@@ -441,6 +441,12 @@ def test_no_unreviewed_constant_cardinality_window_partitions():
         "win_rank_dense": "value-ledger",
         "win_percent": "value-ledger",
         "win_range_frame": "value-ledger",
+        # r8 gini fusion: the exclusive-prefix window runs on the
+        # (nation, bucket) CELL ledger (<= |nations| x #buckets rows),
+        # never on customer-grain rows - the rows are windowed by
+        # (nation, _bkt) (non-literal arg, exempt above) and collapsed
+        # to the ledger in the same stage.
+        "agg_gini": "bucket-reduce",
     }
     root = Path(__file__).resolve().parent.parent / "luxor_db_spark"
     violations = []
