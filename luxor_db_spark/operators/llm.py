@@ -499,20 +499,25 @@ def llm_dedup_simhash(
     ).withColumn(
         "h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
     )
+    # One F.expr per bit-sum and ONE for the fingerprint reassembly —
+    # the per-bit pyspark.sql.functions chains cost ~900 py4j round
+    # trips (~1.3 s of driver-side plan construction per invocation).
+    # Set bits have disjoint powers, so + equals the bitwise OR (and
+    # matches the oracle's SUM form).
     aggs = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
         ).alias(f"b{b}")
         for b in range(bits)
     ]
     sums = tok.groupBy("doc_id").agg(*aggs)
-    fp = None
-    for b in range(bits):
-        term = F.when(
-            F.col(f"b{b}") > 0,
-            F.shiftleft(F.lit(1).cast("long"), b),
-        ).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp.bitwiseOR(term)
+    fp = F.expr(
+        " + ".join(
+            f"(CASE WHEN b{b} > 0 THEN CAST(1 AS BIGINT) << {b}"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for b in range(bits)
+        )
+    )
     sigs = sums.select("doc_id", fp.alias("simhash"))
     blocks = sigs.select(
         "doc_id",
