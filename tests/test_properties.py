@@ -565,3 +565,57 @@ def test_profile_table_approx_matches_exact_within_hll_error(spark, sf_dir):
         ), c
         rel = abs(a.n_distinct_est - e.n_distinct) / max(e.n_distinct, 1)
         assert rel <= 0.05, (c, a.n_distinct_est, e.n_distinct, rel)
+
+
+def test_two_level_cumsum_exact_under_adversarial_bounds(spark, monkeypatch):
+    """The r8 kernel's load-bearing safety claim: bucket BOUNDARIES only
+    set parallelism, never results — which is what makes both the
+    quantile approximation and the per-plan memoization safe (a stale or
+    even garbage boundary set must still produce the exact running sum).
+    Pin it by monkeypatching the boundary source with adversarial sets:
+    empty (one bucket), a single far-out boundary (all rows one side),
+    duplicated/unsorted-domain values, and boundaries denser than the
+    data. Every variant must equal the global single-partition window
+    bit-for-bit, and totals must be unaffected too."""
+    import luxor_db_spark.operators.bucketed as B
+
+    rows = [
+        ("a", k, v, i)
+        for i, (k, v) in enumerate(
+            [(3, 2), (1, 5), (3, 1), (7, 4), (5, 3), (1, 1), (9, 2), (5, 9)]
+        )
+    ] + [("b", k, k + 1, 100 + k) for k in range(10)]
+    df = spark.createDataFrame(rows, "grp string, k long, v long, id long")
+    glob = (
+        Window.partitionBy("grp")
+        .orderBy("k", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r.grp, r.id, r.c)
+        for r in df.select(
+            "grp", "id", F.sum("v").over(glob).alias("c")
+        ).collect()
+    }
+    tot = {
+        (r.grp, r.t)
+        for r in df.groupBy("grp").agg(F.sum("v").alias("t")).collect()
+    }
+
+    for bad in (
+        [],
+        [1e18],
+        [-1e18],
+        [3.0, 3.0, 3.0],
+        [float(x) / 2 for x in range(-3, 25)],
+    ):
+        monkeypatch.setattr(
+            B, "order_bucket_bounds", lambda *a, _b=bad, **kw: sorted(set(_b))
+        )
+        out = B.two_level_cumsum(
+            df, ["grp"], ["k", "id"], F.col("v"), out="c", totals=("c",)
+        )
+        got = {(r.grp, r.id, r.c) for r in out.collect()}
+        assert got == want, f"bounds={bad}"
+        got_t = {(r.grp, r.c_tot) for r in out.select("grp", "c_tot").distinct().collect()}
+        assert got_t == tot, f"bounds={bad}"
