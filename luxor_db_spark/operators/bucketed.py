@@ -143,6 +143,13 @@ def order_bucket_bounds(
         key = None
     if key is not None and key in _BOUNDS_CACHE:
         return _BOUNDS_CACHE[key]
+    # bounded memo: a long-lived session sweeping thousands of DISTINCT
+    # plans must not accumulate entries forever (the r6 persist() leak
+    # lesson, applied to driver memory). Entries are ~30 floats, so the
+    # cap is generous; eviction is wholesale — correctness never depends
+    # on a hit, only first-call latency does.
+    if len(_BOUNDS_CACHE) >= 4096:
+        _BOUNDS_CACHE.clear()
     arr = "array(" + ",".join(repr(p) for p in probs) + ")"
     row = df.select(
         F.expr(
