@@ -568,3 +568,40 @@ def test_profile_any_table_single_scan(eng):
     # single scan: exactly one aggregate chain over one FileScan
     plan = eng.profile("nation")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
+
+
+def test_skew_stress_strategies_agree(spark):
+    """tools/skew_stress.py's three join strategies are the SAME join in
+    different shuffle shapes: on a small skewed fixture, naive and
+    salted (and the fixture builder's hot-key construction) must produce
+    identical grouped results."""
+    from pyspark.sql import functions as F
+
+    from tools.skew_stress import joined_naive, joined_salted
+
+    probe = spark.range(10_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(99)) + 1)
+        .cast("long")
+        .alias("key"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("key"),
+        F.concat(F.lit("grp_"), (F.col("id") % 17).cast("string")).alias(
+            "grp"
+        ),
+    )
+    a = {
+        (r.grp, r.n, round(r.sv, 6))
+        for r in joined_naive(probe, dim).collect()
+    }
+    b = {
+        (r.grp, r.n, round(r.sv, 6))
+        for r in joined_salted(probe, dim, n_salts=4).collect()
+    }
+    assert a == b and a  # identical, non-empty
+    # the hot key actually dominates the fixture (the harness premise)
+    hot = probe.filter("key = 0").count()
+    assert hot >= 4_000

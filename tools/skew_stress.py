@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Skew-stress harness: MEASURE the hot-key join strategies against each
+other on a deliberately skewed fixture.
+
+SCALE.md and join_skew_salted's docstring argue the salted/AQE paths
+defuse a hot key; this harness produces the numbers. It synthesizes a
+probe table where ``HOT_FRAC`` of all rows share ONE key (the
+boilerplate-dedup / null-surrogate / default-tenant shape that dominates
+real pipelines) and joins it to a dim table three ways:
+
+- ``naive``        — shuffle-hash join, AQE OFF: the hot key's entire
+                     row mass lands on one reducer; wall time is that
+                     one task, cores idle.
+- ``aqe_skew``     — AQE ON with OptimizeSkewedJoin: the oversized
+                     partition is split at runtime (the config-free
+                     production default).
+- ``salted``       — the explicit join_skew_salted kernel shape: probe
+                     rows salt N ways, build rows replicate ×N; for
+                     engines that pre-partition or when skew is known
+                     ahead of time.
+
+Broadcast is disabled throughout (a broadcast join never shuffles the
+probe side, so skew is moot — and hiding the effect would make every
+strategy measure the same thing). All three must return the SAME row
+count (asserted) — they differ only in shuffle shape.
+
+Usage:
+    python tools/skew_stress.py                 # default N=4M, hot=0.5
+    python tools/skew_stress.py --rows 8000000 --hot 0.3 --salts 16
+
+Prints one JSON line per strategy and a summary line; results tabulated
+in docs/SCALE.md ("Round 8: measured skew-join strategies").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+N_ROWS = 4_000_000
+HOT_FRAC = 0.5
+N_KEYS = 100_000
+N_SALTS = 8
+RUNS = int(os.environ.get("LUXOR_SKEW_RUNS", "3"))
+FIX_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tmp",
+    "skew",
+)
+
+
+def build_fixture(
+    spark: SparkSession, n_rows: int, hot_frac: float, n_keys: int
+) -> tuple[str, str]:
+    """Write (probe, dim) parquet under tmp/skew: probe has ``hot_frac``
+    of its rows on key 0, the rest hash-uniform over ``n_keys``; dim has
+    one payload row per key. Deterministic (hash-derived, no rand)."""
+    tag = f"n{n_rows}_h{int(hot_frac * 100)}_k{n_keys}"
+    probe_path = os.path.join(FIX_DIR, f"probe_{tag}.parquet")
+    dim_path = os.path.join(FIX_DIR, f"dim_{tag}.parquet")
+    if not os.path.exists(probe_path):
+        mod = max(2, int(round(1.0 / hot_frac)))
+        probe = spark.range(n_rows).select(
+            F.col("id"),
+            F.when(F.col("id") % mod == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_keys - 1)) + 1)
+            .cast("long")
+            .alias("key"),
+            (F.col("id") % 997).cast("double").alias("v"),
+        )
+        probe.write.mode("overwrite").parquet(probe_path)
+    if not os.path.exists(dim_path):
+        dim = spark.range(n_keys).select(
+            F.col("id").alias("key"),
+            F.concat(F.lit("grp_"), (F.col("id") % 17).cast("string")).alias(
+                "grp"
+            ),
+        )
+        dim.write.mode("overwrite").parquet(dim_path)
+    return probe_path, dim_path
+
+
+def joined_naive(probe: DataFrame, dim: DataFrame) -> DataFrame:
+    """Plain shuffle-hash equi-join (strategy differences come from the
+    session confs the caller sets around it)."""
+    return probe.join(dim.hint("shuffle_hash"), "key").groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+
+
+def joined_salted(
+    probe: DataFrame, dim: DataFrame, n_salts: int = N_SALTS
+) -> DataFrame:
+    """The join_skew_salted kernel shape on the stress fixture."""
+    p = probe.withColumn(
+        "salt", F.pmod(F.xxhash64("id"), F.lit(n_salts)).cast("int")
+    )
+    b = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).hint("shuffle_hash")
+    return (
+        p.join(b, (p.key == b.key) & (p.salt == b.salt))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    )
+
+
+def _time(df: DataFrame) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main(argv: list[str]) -> int:
+    n_rows, hot, salts = N_ROWS, HOT_FRAC, N_SALTS
+
+    def _opt(flag: str, cast, cur):
+        if flag in argv:
+            i = argv.index(flag)
+            val = cast(argv[i + 1])
+            del argv[i : i + 2]
+            return val
+        return cur
+
+    n_rows = _opt("--rows", int, n_rows)
+    hot = _opt("--hot", float, hot)
+    salts = _opt("--salts", int, salts)
+
+    from luxor_db_spark.session import get_spark
+
+    spark = get_spark(app_name="luxor-db-spark-skew-stress")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    probe_path, dim_path = build_fixture(spark, n_rows, hot, n_keys=N_KEYS)
+    probe = spark.read.parquet(probe_path)
+    dim = spark.read.parquet(dim_path)
+    probe.count()  # warm footers
+
+    strategies = {
+        "naive": (joined_naive, {"spark.sql.adaptive.enabled": "false"}),
+        "aqe_skew": (
+            joined_naive,
+            {
+                "spark.sql.adaptive.enabled": "true",
+                "spark.sql.adaptive.skewJoin.enabled": "true",
+                # The split thresholds default to 256 MB partitions —
+                # sized for cluster-scale shuffles (at 100 TB a hot key's
+                # partition is orders of magnitude past it). This fixture
+                # is deliberately small, so scale the thresholds DOWN the
+                # same way the defaults match production scale UP; without
+                # this the optimizer correctly judges the hot partition
+                # "not big enough to bother" and the strategy measures
+                # nothing (observed: 1.04x vs naive at 32M rows).
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16MB",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8MB",
+            },
+        ),
+        "salted": (
+            lambda p, d: joined_salted(p, d, salts),
+            {"spark.sql.adaptive.enabled": "true"},
+        ),
+    }
+    results = {}
+    counts = {}
+    for name, (fn, confs) in strategies.items():
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            counts[name] = (
+                fn(probe, dim).agg(F.sum("n")).collect()[0][0]
+            )
+            samples = [_time(fn(probe, dim)) for _ in range(RUNS)]
+        finally:
+            for k, v in saved.items():
+                if v is not None:
+                    spark.conf.set(k, v)
+        results[name] = round(statistics.median(samples), 3)
+        print(
+            json.dumps(
+                {
+                    "strategy": name,
+                    "median_s": results[name],
+                    "samples": [round(s, 3) for s in samples],
+                    "rows_joined": counts[name],
+                }
+            ),
+            flush=True,
+        )
+
+    assert len(set(counts.values())) == 1, f"row counts diverge: {counts}"
+    print(
+        json.dumps(
+            {
+                "summary": "skew_stress",
+                "n_rows": n_rows,
+                "hot_frac": hot,
+                "n_keys": N_KEYS,
+                "n_salts": salts,
+                "runs": RUNS,
+                "medians_s": results,
+                "speedup_vs_naive": {
+                    k: round(results["naive"] / v, 2)
+                    for k, v in results.items()
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
