@@ -734,7 +734,7 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = per_cust.join(
         cust, per_cust.cust == cust.c_custkey
     ).select(F.col("c_nationkey").alias("nation"), "cust", "x")
-    b = order_buckets(r, "x")
+    b = order_buckets(r, "x", tie_col="cust")
     word = Window.partitionBy("nation", BKT).orderBy("x", "cust")
     li = b.withColumn("li", F.row_number().over(word).cast("long"))
     cell = li.groupBy("nation", BKT).agg(

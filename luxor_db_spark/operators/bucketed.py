@@ -111,94 +111,165 @@ def with_trailing_halo(
     return own.unionByName(halo)
 
 
-# (analyzed-plan semanticHash, lead col, npart) -> boundary literals.
-# Safe to reuse forever: ANY boundary set yields identical results —
-# boundaries only set parallelism — and entries are ~31 floats each.
-_BOUNDS_CACHE: dict[tuple[int, str, int], list[float]] = {}
+# (analyzed-plan semanticHash, lead col, tie col, npart) ->
+# (boundary literals, hot-value -> tie-column sub-boundaries).
+# Safe to reuse forever: ANY boundary/sub-boundary set yields identical
+# results — they only set parallelism — and entries are ~dozens of floats.
+_BOUNDS_CACHE: dict[
+    tuple[int, str, str | None, int],
+    tuple[list[float], dict[float, list[float]]],
+] = {}
 
 
-def order_bucket_bounds(
-    df: DataFrame, lead_col: str, npart: int, accuracy: int = 2000
-) -> list[float]:
-    """Driver-collected bucket boundaries for :func:`two_level_cumsum`:
+def order_bucket_spec(
+    df: DataFrame,
+    lead_col: str,
+    tie_col: str | None,
+    npart: int,
+    accuracy: int = 2000,
+) -> tuple[list[float], dict[float, list[float]]]:
+    """Driver-collected bucket spec for :func:`two_level_cumsum`:
     ``npart - 1`` approximate quantiles of ``lead_col`` cast to double
     (one map-combinable ``approx_percentile`` pass — the codegen'd
-    aggregate, not the slower RDD ``approxQuantile`` path; NULLs ignored;
-    duplicates — heavy ties — collapse). The boundaries come back to the
-    plan as LITERALS, so the bucket id computed from them is a pure
-    function of the row — the whole point: recomputation of any task
-    reproduces the same buckets, which the sampled ``repartitionByRange``
-    + ``spark_partition_id`` recipe could not guarantee without pinning
-    (persist/localCheckpoint). Any boundary set yields identical RESULTS;
-    boundaries only set parallelism, so the approximation error is a
-    load-balance concern, never a correctness one — which also makes the
-    per-(plan, npart) memoization below safe (repeat invocations of the
-    same logical frame skip the stats job entirely)."""
+    aggregate, not the slower RDD ``approxQuantile`` path; NULLs
+    ignored), plus, for every HOT value — one spanning ≥ 1/npart of the
+    mass, detected for free because it comes back DUPLICATED in the raw
+    quantile list — the sub-boundaries of ``tie_col`` among that value's
+    rows (one extra filtered stats pass, paid only when hot values
+    exist). Hot-value sub-bucketing is the skew story for the kernel: a
+    lead-column value covering 1% of a 100 TB corpus would otherwise
+    serialize its whole tie run through one window cell.
+
+    Everything comes back to the plan as LITERALS, so the bucket id
+    computed from them is a pure function of the row — the whole point:
+    recomputation of any task reproduces the same buckets, which the
+    sampled ``repartitionByRange`` + ``spark_partition_id`` recipe could
+    not guarantee without pinning (persist/localCheckpoint). Any
+    boundary/sub-boundary set yields identical RESULTS; bounds only set
+    parallelism, so approximation error is a load-balance concern, never
+    a correctness one — which also makes the per-(plan, cols, npart)
+    memoization below safe (repeat invocations of the same logical frame
+    skip the stats jobs entirely)."""
     probs = [i / npart for i in range(1, npart)]
     if not probs:
-        return []
+        return [], {}
     try:
-        key = (df.semanticHash(), lead_col, npart)
+        key = (df.semanticHash(), lead_col, tie_col, npart)
     except Exception:  # pragma: no cover - semanticHash API drift
         key = None
     if key is not None and key in _BOUNDS_CACHE:
         return _BOUNDS_CACHE[key]
     # bounded memo: a long-lived session sweeping thousands of DISTINCT
     # plans must not accumulate entries forever (the r6 persist() leak
-    # lesson, applied to driver memory). Entries are ~30 floats, so the
-    # cap is generous; eviction is wholesale — correctness never depends
-    # on a hit, only first-call latency does.
+    # lesson, applied to driver memory). Entries are ~dozens of floats,
+    # so the cap is generous; eviction is wholesale — correctness never
+    # depends on a hit, only first-call latency does.
     if len(_BOUNDS_CACHE) >= 4096:
         _BOUNDS_CACHE.clear()
     arr = "array(" + ",".join(repr(p) for p in probs) + ")"
+    lead = f"cast(`{lead_col}` as double)"
     row = df.select(
-        F.expr(
-            f"approx_percentile(cast(`{lead_col}` as double), {arr}, "
-            f"{accuracy})"
-        ).alias("_b")
+        F.expr(f"approx_percentile({lead}, {arr}, {accuracy})").alias("_b")
     ).first()
-    bounds = sorted(set(row["_b"] or []))
+    raw = list(row["_b"] or [])
+    bounds = sorted(set(raw))
+    hot = sorted({b for b in bounds if raw.count(b) >= 2})
+    sub: dict[float, list[float]] = {}
+    if hot and tie_col is not None:
+        in_hot = " OR ".join(f"{lead} = {v!r}" for v in hot)
+        tie = f"cast(`{tie_col}` as double)"
+        rows = (
+            df.filter(F.expr(in_hot))
+            .groupBy(F.expr(lead).alias("_v"))
+            .agg(
+                F.expr(
+                    f"approx_percentile({tie}, {arr}, {accuracy})"
+                ).alias("_s")
+            )
+            .collect()
+        )
+        sub = {r["_v"]: sorted(set(r["_s"] or [])) for r in rows}
     if key is not None:
-        _BOUNDS_CACHE[key] = bounds
-    return bounds
+        _BOUNDS_CACHE[key] = (bounds, sub)
+    return bounds, sub
+
+
+def order_bucket_bounds(
+    df: DataFrame, lead_col: str, npart: int, accuracy: int = 2000
+) -> list[float]:
+    """Boundary literals only (no hot-value sub-buckets) — kept for
+    callers that bucket on a single column with no tie refinement."""
+    return order_bucket_spec(df, lead_col, None, npart, accuracy)[0]
 
 
 def order_buckets(
-    df: DataFrame, lead_col: str, npart: int | None = None
+    df: DataFrame,
+    lead_col: str,
+    npart: int | None = None,
+    tie_col: str | None = None,
 ) -> DataFrame:
     """``df`` + :data:`BKT`: the key-domain bucket id — the count of
     quantile boundary literals strictly below ``lead_col`` (NULLs land
-    in bucket 0, matching ASC NULLS FIRST). Pure function of the row, so
-    downstream plans are recompute-deterministic with no pin. Factored
-    out of :func:`two_level_cumsum` so operators that can FUSE the
-    offset arithmetic into their own aggregate grain (agg_gini's
-    Σ(lᵢ+off)·x = A + off·B ledger form) reuse the bucketing without
-    paying the kernel's per-row offset join."""
+    in bucket 0, matching ASC NULLS FIRST), refined for HOT lead values
+    by sub-boundaries of ``tie_col`` (see :func:`order_bucket_spec`).
+    Pure function of the row, so downstream plans are recompute-
+    deterministic with no pin. Factored out of :func:`two_level_cumsum`
+    so operators that can FUSE the offset arithmetic into their own
+    aggregate grain (agg_gini's Σ(lᵢ+off)·x = A + off·B ledger form)
+    reuse the bucketing without paying the kernel's per-row offset join.
+
+    Sub-bucket correctness: a hot value v is itself a boundary (it came
+    back duplicated from the quantile sketch), so its rows sit at the
+    TOP of their primary bucket — every other value in that bucket is
+    strictly below v. Assigning non-v rows sub-id 0 and v rows
+    1 + (count of tie sub-bounds below) keeps the combined id
+    ``primary·stride + sub`` monotone in (lead, tie), and rows tied on
+    BOTH columns still share a bucket — so exactness is untouched for
+    strict orders refined by ``tie_col`` and for tie-insensitive sums,
+    exactly as before."""
     if npart is None:
         spark = df.sparkSession
         try:
             npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
         except (TypeError, ValueError):
             npart = 32
-    bounds = order_bucket_bounds(df, lead_col, npart)
-    if bounds:
-        # One F.expr over a generated CASE-WHEN sum — a plain expression
-        # tree, not an array HOF (lambda captures of outer attributes
-        # mis-bind through aggregates/joins on Spark 4.x), and ONE py4j
-        # call instead of ~3 per boundary (the F.when chain added ~0.1 s
-        # of driver-side plan construction per invocation). NULL v > b
-        # is NULL → 0. repr(float) is roundtrip-exact, so the parsed
-        # literals equal the collected doubles bit-for-bit.
-        v = f"CAST(`{lead_col}` AS DOUBLE)"
-        bkt = F.expr(
+    bounds, sub = order_bucket_spec(df, lead_col, tie_col, npart)
+    if not bounds:
+        return df.withColumn(BKT, F.lit(0))
+    # One F.expr over a generated CASE-WHEN sum — a plain expression
+    # tree, not an array HOF (lambda captures of outer attributes
+    # mis-bind through aggregates/joins on Spark 4.x), and ONE py4j
+    # call instead of ~3 per boundary (the F.when chain added ~0.1 s
+    # of driver-side plan construction per invocation). NULL v > b
+    # is NULL → 0. repr(float) is roundtrip-exact, so the parsed
+    # literals equal the collected doubles bit-for-bit.
+    v = f"CAST(`{lead_col}` AS DOUBLE)"
+    primary = " + ".join(
+        f"(CASE WHEN {v} > {x!r} THEN 1 ELSE 0 END)" for x in bounds
+    )
+    # PRECONDITION of the monotonicity argument below: a sub-bucketed
+    # value must itself be a boundary (only then are its rows the TOP of
+    # their primary bucket). order_bucket_spec guarantees this (hot
+    # values come FROM the boundary list); enforce it anyway so a stale
+    # or hand-fed spec can only lose parallelism, never correctness.
+    sub = {hv: sbs for hv, sbs in sub.items() if hv in set(bounds)}
+    if not sub:
+        return df.withColumn(BKT, F.expr(primary))
+    stride = 2 + max(len(s) for s in sub.values())
+    t = f"CAST(`{tie_col}` AS DOUBLE)"
+    branches = []
+    for hv, sbs in sub.items():
+        inner = (
             " + ".join(
-                f"(CASE WHEN {v} > {x!r} THEN 1 ELSE 0 END)"
-                for x in bounds
+                f"(CASE WHEN {t} > {s!r} THEN 1 ELSE 0 END)" for s in sbs
             )
+            or "0"
         )
-    else:
-        bkt = F.lit(0)
-    return df.withColumn(BKT, bkt)
+        branches.append(f"WHEN {v} = {hv!r} THEN 1 + ({inner})")
+    subexpr = "CASE " + " ".join(branches) + " ELSE 0 END"
+    return df.withColumn(
+        BKT, F.expr(f"({primary}) * {stride} + ({subexpr})")
+    )
 
 
 def two_level_cumsum(
@@ -251,7 +322,18 @@ def two_level_cumsum(
     """
     if vals is None:
         vals = {out: val}
-    b = order_buckets(df, order_cols[0], npart)
+    # hot-value sub-bucketing refines by the second order column when it
+    # is numeric (timestamps included — they cast to double); otherwise
+    # heavy lead-column ties legitimately share one bucket.
+    tie = None
+    if len(order_cols) > 1:
+        dt = dict(df.dtypes).get(order_cols[1], "")
+        if dt in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+            "date", "timestamp", "timestamp_ntz",
+        ) or dt.startswith("decimal"):
+            tie = order_cols[1]
+    b = order_buckets(df, order_cols[0], npart, tie_col=tie)
     word = Window.partitionBy(*part_cols, BKT).orderBy(*order_cols)
     wloc = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wcell = Window.partitionBy(*part_cols, BKT)

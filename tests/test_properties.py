@@ -602,20 +602,67 @@ def test_two_level_cumsum_exact_under_adversarial_bounds(spark, monkeypatch):
         for r in df.groupBy("grp").agg(F.sum("v").alias("t")).collect()
     }
 
-    for bad in (
-        [],
-        [1e18],
-        [-1e18],
-        [3.0, 3.0, 3.0],
-        [float(x) / 2 for x in range(-3, 25)],
+    for bad, badsub in (
+        ([], {}),
+        ([1e18], {}),
+        ([-1e18], {}),
+        ([3.0, 3.0, 3.0], {}),
+        ([float(x) / 2 for x in range(-3, 25)], {}),
+        # garbage HOT-VALUE sub-buckets must be results-invariant too:
+        # sub-split a real tie value by nonsense tie boundaries, and
+        # "sub-split" a value that isn't even hot
+        ([1.0, 3.0, 5.0], {3.0: [102.0, 104.5], 7.0: [-1e9]}),
     ):
         monkeypatch.setattr(
-            B, "order_bucket_bounds", lambda *a, _b=bad, **kw: sorted(set(_b))
+            B,
+            "order_bucket_spec",
+            lambda *a, _b=bad, _s=badsub, **kw: (sorted(set(_b)), _s),
         )
         out = B.two_level_cumsum(
             df, ["grp"], ["k", "id"], F.col("v"), out="c", totals=("c",)
         )
         got = {(r.grp, r.id, r.c) for r in out.collect()}
-        assert got == want, f"bounds={bad}"
+        assert got == want, f"bounds={bad} sub={badsub}"
         got_t = {(r.grp, r.c_tot) for r in out.select("grp", "c_tot").distinct().collect()}
-        assert got_t == tot, f"bounds={bad}"
+        assert got_t == tot, f"bounds={bad} sub={badsub}"
+
+
+def test_hot_lead_value_sub_buckets_spread_and_stay_exact(spark):
+    """r8 skew refinement: a lead-column value covering ≥ 1/npart of the
+    rows (the 9.99-price shape) must (a) be detected from the duplicated
+    quantiles, (b) have its tie run SPREAD across multiple sub-buckets
+    by the second order column, and (c) leave the running sum bit-exact
+    vs the global window — sub-bucketing is a parallelism move only."""
+    import luxor_db_spark.operators.bucketed as B
+
+    # 50% of rows on k=42, rest spread; strict order (k, id)
+    rows = [("g", 42, 1, i) for i in range(500)] + [
+        ("g", (i * 37) % 1000 + 100, 2, 500 + i) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "grp string, k long, v long, id long")
+
+    bounds, sub = B.order_bucket_spec(df, "k", "id", npart=8)
+    assert 42.0 in sub and len(sub[42.0]) >= 3, (bounds, sub)
+
+    b = B.order_buckets(df, "k", npart=8, tie_col="id")
+    hot_buckets = {
+        r.b for r in b.filter("k = 42").select(F.col(B.BKT).alias("b")).distinct().collect()
+    }
+    assert len(hot_buckets) >= 4, hot_buckets  # the tie run is spread
+
+    glob = (
+        Window.partitionBy("grp")
+        .orderBy("k", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r.id, r.c)
+        for r in df.select("id", F.sum("v").over(glob).alias("c")).collect()
+    }
+    got = {
+        (r.id, r.c)
+        for r in B.two_level_cumsum(
+            df, ["grp"], ["k", "id"], F.col("v"), out="c", npart=8
+        ).collect()
+    }
+    assert got == want
