@@ -535,7 +535,14 @@ def llm_dedup_simhash(
     )
     a = blocks.alias("a")
     b_ = blocks.alias("b")
-    cand = (
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    # popcount-filter BEFORE the cross-band dedup: hamming is a pure
+    # function of the pair, so filtering first changes nothing — but the
+    # distinct then shuffles only qualifying pairs instead of every
+    # band collision.
+    return (
         a.join(
             b_,
             (F.col("a.blk_i") == F.col("b.blk_i"))
@@ -545,15 +552,10 @@ def llm_dedup_simhash(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            ham.alias("hamming"),
         )
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= hamming_max)
+        .distinct()
     )
 
 
