@@ -355,6 +355,7 @@ def test_broadcast_hints_only_on_constant_grain_sides():
         "llm.py": {
             "bench",  # fixed 3-term query set
             "centroids",  # k ANN centroids
+            "index.centroids",  # same grain via IvfIndex (ncells rows)
             "g",  # 1-row corpus stats
             "nt", "tp",  # tiny aggregates (report grain)
             "prof",  # language profiles (|langs| x top-words)
@@ -605,3 +606,43 @@ def test_skew_stress_strategies_agree(spark):
     # the hot key actually dominates the fixture (the harness premise)
     hot = probe.filter("key = 0").count()
     assert hot >= 4_000
+
+
+def test_engine_ann_index_lifecycle_fits_once(sf_dir):
+    """r8 verdict ask #4: `LuxorEngine.build_index("llm_ann_ivf")` fits
+    the IVF quantizer ONCE; subsequent `run("llm_ann_ivf", ...)` query
+    batches reuse the fitted model (no second fit job — pinned via the
+    module fit ledger) and return the same neighbors a fresh build
+    would. `drop_index` restores the build-per-call default."""
+    import luxor_db_spark.operators.llm as llm_mod
+    from luxor_db_spark.engine import LuxorEngine
+
+    eng = LuxorEngine.local(sf_dir)
+    fresh = {
+        (r.q_id, r.nb_id, r.sim)
+        for r in eng.run("llm_ann_ivf").collect()
+    }
+
+    n0 = len(llm_mod._IVF_FIT_EVENTS)
+    idx = eng.build_index("llm_ann_ivf")
+    batch1 = {
+        (r.q_id, r.nb_id, r.sim) for r in eng.run("llm_ann_ivf").collect()
+    }
+    batch2 = {
+        (r.q_id, r.nb_id, r.sim)
+        for r in eng.run("llm_ann_ivf", nprobe=12).collect()
+    }
+    assert len(llm_mod._IVF_FIT_EVENTS) - n0 == 1, (
+        "index reuse broken: build_index + two query batches must fit "
+        "the quantizer exactly once"
+    )
+    assert idx.ncells == 16  # fixture scale → first tier
+    assert batch1 == fresh  # same model family, same seed → same answer
+    assert len(batch2) == 50 and batch2 != set()
+
+    eng.drop_index("llm_ann_ivf")
+    n1 = len(llm_mod._IVF_FIT_EVENTS)
+    eng.run("llm_ann_ivf").collect()
+    assert len(llm_mod._IVF_FIT_EVENTS) - n1 == 1, (
+        "drop_index must restore build-per-call"
+    )

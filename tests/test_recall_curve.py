@@ -285,3 +285,47 @@ def test_simhash_banding_beats_old_equality_form(spark, sf_dir):
         for r in llm_dedup_simhash(spark, sf_dir, hamming_max=3).collect()
     }
     assert tight <= cand
+
+
+def test_ivf_tier_function_maps_corpus_size_to_sqrt_n_grid():
+    """The tier table is the ncells ≈ √N contract (r8 verdict ask #1):
+    boundaries sit where √N crosses the geometric mean of adjacent
+    ncells, and the tier-default scanned fraction (nprobe/ncells) is
+    strictly decreasing — probe cost per query stops being a constant
+    fraction of N."""
+    from luxor_db_spark.operators.llm import _ivf_tier, _IVF_TIERS
+
+    assert _ivf_tier(1) == (16, 8)
+    assert _ivf_tier(4_096) == (16, 8)
+    assert _ivf_tier(4_097) == (256, 32)
+    assert _ivf_tier(1_048_576) == (256, 32)
+    assert _ivf_tier(1_048_577) == (4096, 128)
+    fracs = [np_ / nc for _, nc, np_ in _IVF_TIERS]
+    assert fracs == sorted(fracs, reverse=True) and len(set(fracs)) == len(
+        fracs
+    ), f"tier scanned fractions must strictly fall: {fracs}"
+
+
+def test_ivf_scanned_fraction_shrinks_as_tier_rises(spark, sf_dir):
+    """MEASURED probe-cost pin (r8 verdict ask #1): at a fixed nprobe,
+    raising the quantizer tier must shrink the fraction of (query,
+    vector) pairs entering fine scoring — on the near-isotropic fixture
+    the fraction tracks nprobe/ncells, so 16 → 64 cells at nprobe=8
+    must at least halve it. Auto-tier must also resolve to 16 cells at
+    fixture scale (keeping the recall-floor pins above meaningful)."""
+    from luxor_db_spark.operators.llm import ivf_build_index, ivf_scan_stats
+
+    auto = ivf_build_index(spark, sf_dir)
+    assert auto is not None and auto.ncells == 16
+    assert auto.nprobe_default == 8
+
+    lo = ivf_scan_stats(ivf_build_index(spark, sf_dir, ncells=16), nprobe=8)
+    hi = ivf_scan_stats(ivf_build_index(spark, sf_dir, ncells=64), nprobe=8)
+    assert lo["scanned_fraction"] > 0 and hi["scanned_fraction"] > 0
+    assert hi["scanned_fraction"] <= lo["scanned_fraction"] / 2, (
+        lo,
+        hi,
+    )
+    # sanity: the low tier's measured fraction sits near its nominal
+    # nprobe/ncells (isotropic corpus → near-uniform cell sizes)
+    assert 0.25 <= lo["scanned_fraction"] <= 0.75

@@ -24,9 +24,19 @@ probe side, so skew is moot — and hiding the effect would make every
 strategy measure the same thing). All three must return the SAME row
 count (asserted) — they differ only in shuffle shape.
 
+A second case, ``--case dedup_near_cap``, measures llm_dedup_near's two
+df-cap forms on an amplified Zipf document corpus (every doc shares hot
+boilerplate shingles with df ≫ the cap): the ``window`` form
+(skew_safe=False — COUNT over partitionBy(s), buffers each hot
+shingle's FULL posting list in one task before filtering) versus the
+``skew_safe`` form (map-side-combinable groupBy count + left_anti,
+partial-agg bounded per shingle). Both must emit the same pair count
+(asserted); they differ only in where the Zipf head's row mass sits.
+
 Usage:
     python tools/skew_stress.py                 # default N=4M, hot=0.5
     python tools/skew_stress.py --rows 8000000 --hot 0.3 --salts 16
+    python tools/skew_stress.py --case dedup_near_cap --docs 1000000
 
 Prints one JSON line per strategy and a summary line; results tabulated
 in docs/SCALE.md ("Round 8: measured skew-join strategies").
@@ -119,6 +129,114 @@ def _time(df: DataFrame) -> float:
     return time.perf_counter() - t0
 
 
+def build_zipf_docs(spark: SparkSession, n_docs: int) -> str:
+    """Write a documents.parquet whose shingle df distribution has a Zipf
+    head: every doc opens with the same 5-token boilerplate (3 shingles
+    at df = n_docs, 100× past the default cap) and a mid-hot tier shared
+    by ``id % 50`` (df = n_docs/50), then a unique 4-token tail so the
+    near-dup output itself stays tiny. Returns the sf_dir-shaped parent
+    directory; deterministic, reused across runs."""
+    zdir = os.path.join(FIX_DIR, f"zipf_docs_{n_docs}")
+    path = os.path.join(zdir, "documents.parquet")
+    if not os.path.exists(path):
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.lit("common boilerplate header text here"),
+                F.concat(F.lit("mid"), (F.col("id") % 50).cast("string")),
+                F.concat(F.lit("u"), F.col("id").cast("string")),
+                F.concat(F.lit("v"), F.col("id").cast("string")),
+                F.concat(F.lit("w"), F.col("id").cast("string")),
+                F.concat(F.lit("x"), F.col("id").cast("string")),
+            ).alias("text"),
+        )
+        docs.write.mode("overwrite").parquet(path)
+    return zdir
+
+
+def run_dedup_near_case(spark: SparkSession, n_docs: int) -> int:
+    """Time llm_dedup_near's window-form vs skew-safe df-cap on the Zipf
+    corpus. AQE stays ON for both (production posture); broadcast is NOT
+    disabled — the skew-safe hot-set anti-join is allowed its AQE
+    broadcast, that is part of its design."""
+    from luxor_db_spark.operators.llm import llm_dedup_near
+
+    zdir = build_zipf_docs(spark, n_docs)
+    forms = {
+        "window_cap": dict(skew_safe=False),
+        "skew_safe_cap": dict(skew_safe=True),
+    }
+    results, counts = {}, {}
+    for name, kw in forms.items():
+        counts[name] = llm_dedup_near(spark, zdir, **kw).count()
+        samples = [
+            _time(llm_dedup_near(spark, zdir, **kw))
+            for _ in range(RUNS)
+        ]
+        results[name] = round(statistics.median(samples), 3)
+        print(
+            json.dumps(
+                {
+                    "strategy": name,
+                    "median_s": results[name],
+                    "samples": [round(s, 3) for s in samples],
+                    "pairs": counts[name],
+                }
+            ),
+            flush=True,
+        )
+    assert len(set(counts.values())) == 1, f"pair counts diverge: {counts}"
+
+    # The structural difference is WHERE the Zipf head's row mass sits,
+    # not local wall time (one shared-memory box absorbs a hot task that
+    # would OOM/spill a 100 TB executor). Measure it directly: the
+    # window form's partitionBy(s) exchange buffers the hottest
+    # shingle's ENTIRE posting list in one task before the cap filter;
+    # the skew-safe form's groupBy(s) shuffle carries only map-side
+    # partial (s, count) rows — at most one per input partition.
+    from luxor_db_spark.catalog import load_table
+    from luxor_db_spark.operators.llm import _SHINGLES, _TOKENS
+
+    d = load_table(spark, zdir, "documents").withColumn(
+        "tokens", F.expr(_TOKENS)
+    )
+    sh_all = d.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES))).alias("s")
+    )
+    hottest_df = (
+        sh_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df"))
+        .collect()[0][0]
+    )
+    safe_partial_rows_max = (
+        sh_all.withColumn("mp", F.spark_partition_id())
+        .groupBy("s")
+        .agg(F.countDistinct("mp").alias("nparts"))
+        .agg(F.max("nparts"))
+        .collect()[0][0]
+    )
+    print(
+        json.dumps(
+            {
+                "summary": "dedup_near_cap",
+                "n_docs": n_docs,
+                "runs": RUNS,
+                "medians_s": results,
+                "window_vs_skew_safe": round(
+                    results["window_cap"] / results["skew_safe_cap"], 2
+                ),
+                "window_single_task_buffered_rows": hottest_df,
+                "skew_safe_shuffled_rows_for_same_shingle": (
+                    safe_partial_rows_max
+                ),
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str]) -> int:
     n_rows, hot, salts = N_ROWS, HOT_FRAC, N_SALTS
 
@@ -133,10 +251,14 @@ def main(argv: list[str]) -> int:
     n_rows = _opt("--rows", int, n_rows)
     hot = _opt("--hot", float, hot)
     salts = _opt("--salts", int, salts)
+    case = _opt("--case", str, "join")
+    n_docs = _opt("--docs", int, 1_000_000)
 
     from luxor_db_spark.session import get_spark
 
     spark = get_spark(app_name="luxor-db-spark-skew-stress")
+    if case == "dedup_near_cap":
+        return run_dedup_near_case(spark, n_docs)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     probe_path, dim_path = build_fixture(spark, n_rows, hot, n_keys=N_KEYS)
     probe = spark.read.parquet(probe_path)
