@@ -182,6 +182,7 @@ _LATE_FRESH: frozenset[str] = frozenset(
     agg_argmax
     profile_table_approx
     llm_simhash_eval
+    stream_simhash_dedup
     """.split()
 )
 
@@ -231,6 +232,8 @@ def expected_window(keys: list[str]) -> list[str]:
 # round it reconstructs — the live registry is no longer that round's.
 _ADDED_IN_ROUND: dict[str, int] = {
     "profile_table_approx": 7,
+    "llm_simhash_eval": 8,
+    "stream_simhash_dedup": 9,
 }
 
 

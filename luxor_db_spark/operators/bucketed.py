@@ -115,10 +115,30 @@ def with_trailing_halo(
 # (boundary literals, hot-value -> tie-column sub-boundaries).
 # Safe to reuse forever: ANY boundary/sub-boundary set yields identical
 # results — they only set parallelism — and entries are ~dozens of floats.
+# _BOUNDS_LOCK serializes the size-check/clear/insert sequence: concurrent
+# driver threads racing it was harmless for results (any bounds are
+# correctness-safe) but could drop freshly computed entries and re-pay the
+# stats jobs (r8 ADVICE — hygiene).
 _BOUNDS_CACHE: dict[
     tuple[int, str, str | None, int],
     tuple[list[float], dict[float, list[float]]],
 ] = {}
+_BOUNDS_LOCK = __import__("threading").Lock()
+
+
+def _as_double(df: DataFrame, col: str) -> str:
+    """SQL expr casting an orderable column to DOUBLE for the quantile
+    sketch and bucket-id arithmetic, order-preserving per type. A plain
+    CAST(date AS DOUBLE) silently returns NULL in Spark (r8 ADVICE — it
+    made hot-value sub-bucketing inert on date tie columns), so dates go
+    through unix_date; TIMESTAMP_NTZ through an epoch cast via TIMESTAMP
+    (session TZ pinned UTC — order-preserving instant mapping)."""
+    dt = dict(df.dtypes).get(col, "")
+    if dt == "date":
+        return f"cast(unix_date(`{col}`) as double)"
+    if dt == "timestamp_ntz":
+        return f"cast(cast(`{col}` as timestamp) as double)"
+    return f"cast(`{col}` as double)"
 
 
 def order_bucket_spec(
@@ -157,17 +177,12 @@ def order_bucket_spec(
         key = (df.semanticHash(), lead_col, tie_col, npart)
     except Exception:  # pragma: no cover - semanticHash API drift
         key = None
-    if key is not None and key in _BOUNDS_CACHE:
-        return _BOUNDS_CACHE[key]
-    # bounded memo: a long-lived session sweeping thousands of DISTINCT
-    # plans must not accumulate entries forever (the r6 persist() leak
-    # lesson, applied to driver memory). Entries are ~dozens of floats,
-    # so the cap is generous; eviction is wholesale — correctness never
-    # depends on a hit, only first-call latency does.
-    if len(_BOUNDS_CACHE) >= 4096:
-        _BOUNDS_CACHE.clear()
+    if key is not None:
+        with _BOUNDS_LOCK:
+            if key in _BOUNDS_CACHE:
+                return _BOUNDS_CACHE[key]
     arr = "array(" + ",".join(repr(p) for p in probs) + ")"
-    lead = f"cast(`{lead_col}` as double)"
+    lead = _as_double(df, lead_col)
     row = df.select(
         F.expr(f"approx_percentile({lead}, {arr}, {accuracy})").alias("_b")
     ).first()
@@ -177,7 +192,7 @@ def order_bucket_spec(
     sub: dict[float, list[float]] = {}
     if hot and tie_col is not None:
         in_hot = " OR ".join(f"{lead} = {v!r}" for v in hot)
-        tie = f"cast(`{tie_col}` as double)"
+        tie = _as_double(df, tie_col)
         rows = (
             df.filter(F.expr(in_hot))
             .groupBy(F.expr(lead).alias("_v"))
@@ -190,7 +205,16 @@ def order_bucket_spec(
         )
         sub = {r["_v"]: sorted(set(r["_s"] or [])) for r in rows}
     if key is not None:
-        _BOUNDS_CACHE[key] = (bounds, sub)
+        with _BOUNDS_LOCK:
+            # bounded memo: a long-lived session sweeping thousands of
+            # DISTINCT plans must not accumulate entries forever (the r6
+            # persist() leak lesson, applied to driver memory). Entries
+            # are ~dozens of floats, so the cap is generous; eviction is
+            # wholesale — correctness never depends on a hit, only
+            # first-call latency does.
+            if len(_BOUNDS_CACHE) >= 4096:
+                _BOUNDS_CACHE.clear()
+            _BOUNDS_CACHE[key] = (bounds, sub)
     return bounds, sub
 
 
@@ -243,7 +267,7 @@ def order_buckets(
     # of driver-side plan construction per invocation). NULL v > b
     # is NULL → 0. repr(float) is roundtrip-exact, so the parsed
     # literals equal the collected doubles bit-for-bit.
-    v = f"CAST(`{lead_col}` AS DOUBLE)"
+    v = _as_double(df, lead_col)
     primary = " + ".join(
         f"(CASE WHEN {v} > {x!r} THEN 1 ELSE 0 END)" for x in bounds
     )
@@ -256,7 +280,7 @@ def order_buckets(
     if not sub:
         return df.withColumn(BKT, F.expr(primary))
     stride = 2 + max(len(s) for s in sub.values())
-    t = f"CAST(`{tie_col}` AS DOUBLE)"
+    t = _as_double(df, tie_col)
     branches = []
     for hv, sbs in sub.items():
         inner = (
@@ -321,10 +345,17 @@ def two_level_cumsum(
     pass its negation (win_pareto orders by ``-rev``).
     """
     if vals is None:
+        if val is None:
+            raise ValueError(
+                "two_level_cumsum: pass either `val` (single running sum) "
+                "or `vals` (name -> value column map) — both were None"
+            )
         vals = {out: val}
     # hot-value sub-bucketing refines by the second order column when it
-    # is numeric (timestamps included — they cast to double); otherwise
-    # heavy lead-column ties legitimately share one bucket.
+    # is numeric or temporal (each converted order-preservingly to double
+    # by _as_double — dates via unix_date, since a plain double cast of a
+    # DATE is NULL; r8 ADVICE); otherwise heavy lead-column ties
+    # legitimately share one bucket.
     tie = None
     if len(order_cols) > 1:
         dt = dict(df.dtypes).get(order_cols[1], "")

@@ -430,13 +430,12 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 60  # 15 md5 hex chars — exact in BIGINT in both engines
 
 
-def _simhash_cand_duck(hamming_max: int = 7) -> str:
-    """DuckDB twin of llm_dedup_simhash's candidate pipeline: the same
-    md5-derived 60-bit token hashes, per-bit ±1 majority fingerprint,
-    4×15-bit block banding, popcount verification. Shared by the key's
-    own oracle and llm_simhash_eval's."""
+def _simhash_blocks_duck() -> str:
+    """The fingerprint CTE chain (tok → … → blocks) shared by the batch
+    candidate oracle and `streaming.streams.stream_simhash_dedup`'s
+    horizon-restricted oracle."""
     return f"""
-    WITH tok AS (
+    tok AS (
       SELECT DISTINCT doc_id, w FROM (
         SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS w
         FROM documents)
@@ -464,7 +463,16 @@ def _simhash_cand_duck(hamming_max: int = 7) -> str:
       SELECT doc_id, simhash, i AS blk_i,
              (simhash >> (15 * i)) & 32767 AS blk
       FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
-    )
+    )"""
+
+
+def _simhash_cand_duck(hamming_max: int = 7) -> str:
+    """DuckDB twin of llm_dedup_simhash's candidate pipeline: the same
+    md5-derived 60-bit token hashes, per-bit ±1 majority fingerprint,
+    4×15-bit block banding, popcount verification. Shared by the key's
+    own oracle and llm_simhash_eval's."""
+    return f"""
+    WITH {_simhash_blocks_duck()}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM blocks a

@@ -590,12 +590,19 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def incremental_audit(
-    spark: SparkSession, paths: list[str], prev_marker: str
+    spark: SparkSession,
+    paths: list[str],
+    prev_marker: str,
+    *,
+    manifest_isin_cap: int = 10_000,
 ) -> DataFrame:
     """Classify every file under ``paths`` as already-processed or fresh
     against the high-water mark of the files whose path contains
     ``prev_marker`` (the previous run's delivery), returning the
-    (is_new, n_rows) audit.
+    (is_new, n_rows) audit. A FIRST run (no file matches the marker) has
+    no watermark: everything is fresh (r8 ADVICE — previously the NULL
+    watermark made every comparison NULL and the audit emitted one
+    confusing ``is_new=NULL`` group).
 
     Robust to COARSE MTIME GRANULARITY (r7 verdict ask #7): a strictly-
     greater mtime comparison alone misclassifies a new file that lands
@@ -605,33 +612,64 @@ def incremental_audit(
     boundary tick needs remembering — earlier files are strictly older),
     and call a file fresh iff its mtime is strictly newer OR it sits on
     the boundary tick without being in the manifest. The manifest is
-    bounded by files-per-tick, not corpus size, so it stays a driver-side
-    scalar-ish list at any scale.
+    bounded by files AT the tick — usually a handful, but a burst-written
+    delivery commonly lands its WHOLE file set in one tick (r8 ADVICE),
+    so above ``manifest_isin_cap`` paths the manifest stays a DISTRIBUTED
+    frame joined on file path instead of being collected into a giant
+    ``isin`` plan literal (driver-memory / plan-size hazard).
     """
     all_files = spark.read.parquet(*paths)
     mt = F.col("_metadata.file_modification_time")
-    prev = F.col("_metadata.file_path").contains(prev_marker)
+    fpath = F.col("_metadata.file_path")
+    prev = fpath.contains(prev_marker)
     hwm = all_files.select(
         F.max(F.when(prev, mt)).alias("hwm")
     ).collect()[0].hwm  # one scalar: the last-successful-run watermark
+    counted = F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    if hwm is None:
+        return (
+            all_files.select(F.lit(True).alias("is_new"))
+            .groupBy("is_new")
+            .agg(counted)
+        )
     # processed-manifest at the boundary tick: one row per FILE (cheap —
     # file_path is constant per split, so the distinct collapses map-side)
-    boundary = [
-        r.p
-        for r in all_files.filter(prev & (mt == F.lit(hwm)))
-        .select(F.col("_metadata.file_path").alias("p"))
+    boundary_df = (
+        all_files.filter(prev & (mt == F.lit(hwm)))
+        .select(fpath.alias("_bp"))
         .distinct()
-        .collect()
+    )
+    boundary = [
+        r._bp for r in boundary_df.limit(manifest_isin_cap + 1).collect()
     ]
-    fresh = (mt > F.lit(hwm)) | (
-        (mt == F.lit(hwm))
-        & ~F.col("_metadata.file_path").isin(boundary)
-    )
-    return (
-        all_files.select(fresh.alias("is_new"))
-        .groupBy("is_new")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-    )
+    if len(boundary) <= manifest_isin_cap:
+        fresh = (mt > F.lit(hwm)) | (
+            (mt == F.lit(hwm)) & ~fpath.isin(boundary)
+        )
+        flagged = all_files.select(fresh.alias("is_new"))
+    else:
+        # Burst-written boundary tick: keep the manifest distributed.
+        # Un-hinted left join on file path — AQE broadcasts while the
+        # manifest is small and degrades to a shuffle join when the
+        # previous delivery's file count outgrows the threshold.
+        flagged = (
+            all_files.select(mt.alias("_mt"), fpath.alias("_p"))
+            .join(
+                boundary_df.withColumn("_seen", F.lit(True)),
+                F.col("_p") == F.col("_bp"),
+                "left",
+            )
+            .select(
+                (
+                    (F.col("_mt") > F.lit(hwm))
+                    | (
+                        (F.col("_mt") == F.lit(hwm))
+                        & F.col("_seen").isNull()
+                    )
+                ).alias("is_new")
+            )
+        )
+    return flagged.groupBy("is_new").agg(counted)
 
 
 @query(

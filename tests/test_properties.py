@@ -666,3 +666,69 @@ def test_hot_lead_value_sub_buckets_spread_and_stay_exact(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_hot_value_sub_buckets_work_on_date_tie_column(spark):
+    """r8 ADVICE: CAST(date AS DOUBLE) is NULL in this Spark build, which
+    silently disabled hot-value sub-bucketing on DATE tie columns (sub-
+    bounds collapsed to none; results stayed exact but the documented
+    skew refinement was inert). _as_double now routes dates through
+    unix_date — this pins that a hot lead value with a date tie column
+    (a) produces non-empty sub-bounds, (b) actually spreads the tie run,
+    and (c) keeps the running sum bit-exact. Also pins the missing-value
+    guard: val=None with vals=None raises ValueError, not a cryptic
+    F.sum(None) failure."""
+    import datetime
+
+    import pytest as _pytest
+
+    import luxor_db_spark.operators.bucketed as B
+
+    rows = [
+        ("g", 42, 1, datetime.date(2020, 1, 1) + datetime.timedelta(days=i))
+        for i in range(500)
+    ] + [
+        (
+            "g",
+            (i * 37) % 1000 + 100,
+            2,
+            datetime.date(2020, 1, 1) + datetime.timedelta(days=i),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "grp string, k long, v long, d date")
+
+    bounds, sub = B.order_bucket_spec(df, "k", "d", npart=8)
+    assert 42.0 in sub and len(sub[42.0]) >= 3, (bounds, sub)
+
+    b = B.order_buckets(df, "k", npart=8, tie_col="d")
+    hot_buckets = {
+        r.b
+        for r in b.filter("k = 42")
+        .select(F.col(B.BKT).alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert len(hot_buckets) >= 4, hot_buckets
+
+    glob = (
+        Window.partitionBy("grp")
+        .orderBy("k", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r.d, r.k, r.c)
+        for r in df.select(
+            "d", "k", F.sum("v").over(glob).alias("c")
+        ).collect()
+    }
+    got = {
+        (r.d, r.k, r.c)
+        for r in B.two_level_cumsum(
+            df, ["grp"], ["k", "d"], F.col("v"), out="c", npart=8
+        ).collect()
+    }
+    assert got == want
+
+    with _pytest.raises(ValueError, match="val"):
+        B.two_level_cumsum(df, ["grp"], ["k", "d"], None, out="c")
