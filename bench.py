@@ -89,6 +89,10 @@ HEADLINE = [
     # real-pixel-path resize (decode + resample now do actual pixel work)
     "llm_simhash_eval",
     "mm_resize",
+    # round 9 additions: the watermarked streaming near-dup join and the
+    # real multi-frame decode path
+    "stream_simhash_dedup",
+    "mm_frame_sample",
 ]
 
 

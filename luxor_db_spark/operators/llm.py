@@ -3198,7 +3198,17 @@ def llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("d").cast("bigint").alias("n_docs_flagged"),
         )
 
-    near = pair_stats(QUERIES["llm_dedup_near"](spark, sf_dir), "near")
+    # Shared tokenized scan for the near-dup method (r9: the skew-safe
+    # df-cap default costs one more scan per lineage reference, which
+    # pushed this report's documents-scan count past its plan budget) —
+    # the same docs= composition the eval keys use; checkpoint blocks
+    # are GC-released with the frame.
+    shared = d.select(
+        "doc_id", F.expr(_TOKENS).alias("tokens")
+    ).localCheckpoint(eager=True)
+    near = pair_stats(
+        QUERIES["llm_dedup_near"](spark, sf_dir, docs=shared), "near"
+    )
     fuzzy = pair_stats(QUERIES["llm_dedup_fuzzy"](spark, sf_dir), "fuzzy")
     return exact.unionAll(near).unionAll(fuzzy)
 

@@ -329,10 +329,17 @@ def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariance pinned in tests/test_stream_invariance.py).
     """
     docs = _stream_documents(spark, sf_dir)
+    # +1 day offset: the initial global watermark is epoch 0, and a row
+    # whose event time EQUALS the watermark is filtered as late — doc_id
+    # 0 at exactly epoch 0 silently lost its pairs (caught by the sf0.001
+    # parity suite; only the horizon between ids matters, so any offset
+    # leaves the oracle untouched).
     sig = docs.select(
         "doc_id",
         F.timestamp_micros(
-            (F.col("doc_id") * F.lit(60_000_000)).cast("long")
+            ((F.col("doc_id") + F.lit(1440)) * F.lit(60_000_000)).cast(
+                "long"
+            )
         ).alias("ts"),
         F.expr(_SIMHASH_ROW_SQL).alias("simhash"),
     )

@@ -17,11 +17,19 @@ Truth: exact top-5 per query by the same cosine, rounding, and
 (sim desc, vec_id) tie-break the IVF path uses, so the comparison is
 pure cell-miss, never arithmetic drift.
 
+r9: the quantizer auto-tiers with corpus size (16 → 256 → 4096 cells as
+N crosses 4k → 1M; `operators.llm._IVF_TIERS`). ``--tiers`` sweeps
+explicit ncells values on one fixture at a fixed nprobe, printing the
+MEASURED scanned fraction next to recall — the knee readout per tier
+(on the isotropic fixture recall ≈ scanned fraction, so the fraction
+falling as the tier rises is exactly the cost the tiering buys).
+
 Usage:
     python tools/ann_recall.py                   # sf0.01, nprobe 2,4,8,12
     python tools/ann_recall.py --sf <dir> --nprobe 2,8
+    python tools/ann_recall.py --tiers 16,64,256 --nprobe 8
 
-Prints one JSON line per nprobe and a summary line.
+Prints one JSON line per nprobe (or per tier) and a summary line.
 """
 
 from __future__ import annotations
@@ -78,9 +86,58 @@ def main(argv: list[str]) -> int:
             print("usage: --nprobe 2,4,8", file=sys.stderr)
             return 2
         nprobes = [int(x) for x in argv[i + 1].split(",")]
+    tiers = None
+    if "--tiers" in argv:
+        i = argv.index("--tiers")
+        tiers = [int(x) for x in argv[i + 1].split(",")]
 
     spark = get_spark(app_name="luxor-db-spark-ann-recall")
     truth = exact_top5(spark, sf_dir)
+
+    if tiers is not None:
+        from luxor_db_spark.operators.llm import (
+            ivf_build_index,
+            ivf_query,
+            ivf_scan_stats,
+        )
+
+        nprobe = nprobes[0] if "--nprobe" in argv else 8
+        rows = []
+        for nc in tiers:
+            idx = ivf_build_index(spark, sf_dir, ncells=nc)
+            t0 = time.perf_counter()
+            got = {
+                (r.q_id, r.nb_id)
+                for r in ivf_query(idx, nprobe=nprobe)
+                .select("q_id", "nb_id")
+                .collect()
+            }
+            stats = ivf_scan_stats(idx, nprobe=nprobe)
+            row = {
+                "ncells": nc,
+                "nprobe": nprobe,
+                "scanned_fraction": stats["scanned_fraction"],
+                "recall_at_5": round(len(truth & got) / len(truth), 4),
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+        print(
+            json.dumps(
+                {
+                    "summary": "ann_recall_tiers",
+                    "sf_dir": sf_dir,
+                    "n_truth": len(truth),
+                    "scanned_fraction": {
+                        str(r["ncells"]): r["scanned_fraction"] for r in rows
+                    },
+                    "recall": {
+                        str(r["ncells"]): r["recall_at_5"] for r in rows
+                    },
+                }
+            )
+        )
+        return 0
     rows = []
     for nprobe in nprobes:
         t0 = time.perf_counter()
