@@ -276,19 +276,28 @@ def _stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multiple-stateful-operator restriction). Integer arithmetic over the
 # same distinct-token set ⇒ bit-identical fingerprints (pinned in
 # tests/test_stream_invariance.py against the batch form).
+#
+# Shape matters for cost: the token hashes are materialized ONCE by the
+# outer transform() before the fold — an earlier draft recomputed
+# md5(w) inside the per-bit lambda (60 digests per token; measured
+# 7.3 s for 5000 sf0.1 docs, ~60× the hash work), while this form pays
+# |tokens| digests + 60·|tokens| integer ops. The fold carries a
+# 60-slot ±1 counter array (zip_with) and the finish lambda packs the
+# sign bits into the BIGINT fingerprint.
 _SIMHASH_ROW_SQL = """
 aggregate(
-  sequence(0, 59),
-  CAST(0 AS BIGINT),
-  (s, i) -> s + IF(
-    aggregate(
-      array_distinct(split(coalesce(text, ''), ' ')),
-      0,
-      (acc, w) -> acc + IF(
-        ((CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT) >> i) & 1)
-          = 1, 1, -1)
-    ) > 0,
-    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))
+  transform(array_distinct(split(coalesce(text, ''), ' ')),
+            w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)),
+  transform(sequence(0, 59), i -> 0),
+  (acc, h) -> zip_with(acc,
+                       transform(sequence(0, 59),
+                                 i -> IF(((h >> i) & 1) = 1, 1, -1)),
+                       (x, y) -> x + y),
+  acc -> aggregate(
+    sequence(0, 59),
+    CAST(0 AS BIGINT),
+    (s, i) -> s + IF(element_at(acc, i + 1) > 0,
+                     shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))
 )
 """
 
