@@ -367,22 +367,34 @@ def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("blk_i", "blk"),
     ).withWatermark("ts", "2 hours")
-    a = blocks.alias("a")
-    b = blocks.alias("b")
-    # The join condition carries the band equality + the time range; the
-    # ts conjuncts are what StreamingJoinHelper turns into BOTH sides'
-    # state-cleanup predicates (verified in the executed plan — the
-    # "state cleanup [ left/right value predicate ... ]" pin in
-    # tests/test_stream_invariance.py; the WARN it logs while scanning
-    # the non-time `doc_id <` conjunct is noise, eviction still derives
-    # from the ts bounds). The popcount verification is a stateless
-    # per-row check and runs as a batch filter over the drained sink —
-    # the banding-stage/verification-stage split a production pipeline
-    # uses, keeping the stateful operator's condition purely structural.
+    # TIME-EPOCH key fragmentation (the hot-band fix): a popular band
+    # value would otherwise put ALL its postings into one join bucket,
+    # and the symmetric hash join evaluates the non-equi conjuncts per
+    # bucket PAIR — one task doing O(m²) checks (measured: a simhash-hot
+    # amplified corpus ran ~210 s at x16 FLAT from 4 to 32 cores; the
+    # time filter rejected the pairs but only after the hot task
+    # evaluated them). Quantizing event time into horizon-sized epochs
+    # and adding the epoch to the EQUI key caps a bucket at one band's
+    # arrivals per 2-hour window: b.ts ∈ [a.ts, a.ts+2h] ⇒ epoch(b) ∈
+    # {epoch(a), epoch(a)+1}, so the a-side explodes into those two
+    # epochs and the b-side keeps its own — every qualifying pair still
+    # matches exactly once (b's epoch is unique), the ts conjuncts still
+    # bound both sides' state (cleanup predicates pinned in
+    # tests/test_stream_invariance.py; the WARN StreamingJoinHelper logs
+    # while scanning the non-time `doc_id <` conjunct is noise).
+    epoch = F.floor(F.unix_timestamp("ts") / 7200).cast("long")
+    a = blocks.withColumn(
+        "epoch", F.explode(F.array(epoch, epoch + 1))
+    ).alias("a")
+    b = blocks.withColumn("epoch", epoch).alias("b")
+    # The popcount verification is a stateless per-row check and runs as
+    # a batch filter over the drained sink — the banding-stage/
+    # verification-stage split a production pipeline uses, keeping the
+    # stateful operator's condition purely structural.
     j = a.join(
         b,
         F.expr(
-            "a.blk_i = b.blk_i AND a.blk = b.blk "
+            "a.blk_i = b.blk_i AND a.blk = b.blk AND a.epoch = b.epoch "
             "AND a.doc_id < b.doc_id "
             "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOURS"
         ),

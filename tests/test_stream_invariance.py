@@ -148,10 +148,14 @@ def test_stream_simhash_state_cleanup_predicates(spark):
             )
         ).alias("blk_i", "blk"),
     ).withWatermark("ts", "2 hours")
-    j = blocks.alias("a").join(
-        blocks.alias("b"),
+    epoch = F.floor(F.unix_timestamp("ts") / 7200).cast("long")
+    j = blocks.withColumn("epoch", F.explode(F.array(epoch, epoch + 1))).alias(
+        "a"
+    ).join(
+        blocks.withColumn("epoch", epoch).alias("b"),
         F.expr(
-            "a.blk_i = b.blk_i AND a.blk = b.blk AND a.doc_id < b.doc_id "
+            "a.blk_i = b.blk_i AND a.blk = b.blk AND a.epoch = b.epoch "
+            "AND a.doc_id < b.doc_id "
             "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOURS"
         ),
     )
