@@ -105,6 +105,26 @@ class LuxorEngine:
         """Forget a built index; the next run() re-builds per call."""
         self._indexes.pop(key, None)
 
+    def save_index(self, path: str, key: str = "llm_ann_ivf") -> None:
+        """Persist the built index (build_index first): centroids +
+        fitted model + the assignment as CELL-PARTITIONED parquet, so a
+        later `load_index` serves probes that scan only the probed
+        cells' partitions — the durable half of the index lifecycle."""
+        if key not in self._indexes:
+            raise KeyError(f"no built index for {key!r}; call build_index")
+        from luxor_db_spark.operators.llm import ivf_save_index
+
+        ivf_save_index(self._indexes[key], path)
+
+    def load_index(self, path: str, key: str = "llm_ann_ivf"):
+        """Load a persisted index and cache it for run() — no KMeans
+        fit, no corpus pass; returns the index object."""
+        from luxor_db_spark.operators.llm import ivf_load_index
+
+        idx = ivf_load_index(self.spark, path)
+        self._indexes[key] = idx
+        return idx
+
     def keys(self) -> list[str]:
         return sorted(load_all_queries())
 

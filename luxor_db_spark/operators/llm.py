@@ -1345,6 +1345,62 @@ def ivf_build_index(
     return IvfIndex(ncells, nprobe_default, model, centroids, assigned)
 
 
+def ivf_save_index(index: IvfIndex, path: str) -> None:
+    """Persist a built IVF index: centroids (driver-small parquet), the
+    cell assignment as CELL-PARTITIONED parquet — the 100 TB
+    materialization: a probe then reads ONLY the probed cells'
+    partitions (dynamic partition pruning against the broadcast probe
+    list, plan-pinned in tests/test_engine.py) — and the fitted KMeans
+    model (ML persistence) so NEW vectors can be assigned to the same
+    cells without a refit. Layout: {path}/meta.json, /centroids,
+    /assigned (partitioned by cell), /model."""
+    import json as _json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        _json.dump(
+            {
+                "ncells": index.ncells,
+                "nprobe_default": index.nprobe_default,
+            },
+            fh,
+        )
+    index.centroids.write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    (
+        index.assigned.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "assigned"))
+    )
+    index.model.write().overwrite().save(os.path.join(path, "model"))
+
+
+def ivf_load_index(spark: SparkSession, path: str) -> IvfIndex:
+    """Load a persisted IVF index — NO KMeans fit, no corpus pass: the
+    quantizer state is the saved centroids/model, and the assignment is
+    the saved cell-partitioned parquet (lazy — queries read only probed
+    cells' partitions)."""
+    import json as _json
+    import os
+
+    from pyspark.ml.clustering import KMeansModel
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = _json.load(fh)
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    model = KMeansModel.load(os.path.join(path, "model"))
+    return IvfIndex(
+        int(meta["ncells"]),
+        int(meta["nprobe_default"]),
+        model,
+        centroids,
+        assigned,
+    )
+
+
 def ivf_probe_cells(
     index: IvfIndex, *, nprobe: int, n_queries: int = 10
 ) -> DataFrame:

@@ -646,3 +646,39 @@ def test_engine_ann_index_lifecycle_fits_once(sf_dir):
     assert len(llm_mod._IVF_FIT_EVENTS) - n1 == 1, (
         "drop_index must restore build-per-call"
     )
+
+
+def test_engine_ann_index_save_load_round_trip(sf_dir, tmp_path):
+    """r9 (completing the r8-ask-#4 lifecycle): a built IVF index
+    persists — centroids + fitted model + CELL-PARTITIONED assignment —
+    and `load_index` serves identical results with ZERO KMeans fits and
+    no corpus pass; the loaded index's probe scan carries a
+    dynamicpruning PartitionFilter on cell (only probed cells' parquet
+    partitions are read — the 100 TB serving shape)."""
+    import luxor_db_spark.operators.llm as llm_mod
+    from luxor_db_spark.engine import LuxorEngine
+    from luxor_db_spark.operators.llm import ivf_query
+
+    eng = LuxorEngine.local(sf_dir)
+    eng.build_index("llm_ann_ivf")
+    fresh = {
+        (r.q_id, r.nb_id, r.sim) for r in eng.run("llm_ann_ivf").collect()
+    }
+    path = str(tmp_path / "ivfidx")
+    eng.save_index(path)
+    eng.drop_index()
+
+    n0 = len(llm_mod._IVF_FIT_EVENTS)
+    idx = eng.load_index(path)
+    loaded = {
+        (r.q_id, r.nb_id, r.sim) for r in eng.run("llm_ann_ivf").collect()
+    }
+    assert len(llm_mod._IVF_FIT_EVENTS) == n0, "load must not refit"
+    assert loaded == fresh and len(loaded) == 50
+
+    q = ivf_query(idx, nprobe=2)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression(cell" in plan, (
+        "loaded assignment's probe scan lost dynamic partition pruning"
+    )
