@@ -329,3 +329,40 @@ def test_ivf_scanned_fraction_shrinks_as_tier_rises(spark, sf_dir):
     # sanity: the low tier's measured fraction sits near its nominal
     # nprobe/ncells (isotropic corpus → near-uniform cell sizes)
     assert 0.25 <= lo["scanned_fraction"] <= 0.75
+
+
+def test_ivf_auto_tier_promotes_past_first_boundary(spark, tmp_path):
+    """End-to-end tier promotion (r9): a corpus past the 4096-vector
+    boundary must auto-tier to 256 cells with the tier default nprobe=32
+    — and the MEASURED scanned fraction must sit near the nominal
+    nprobe/ncells = 1/8, far below tier 16's 1/2. Exercises the bounded
+    second probe, the 256-cell fit, and full query serving on a corpus
+    the fixtures never reach."""
+    from pyspark.sql import functions as F
+
+    from luxor_db_spark.operators.llm import (
+        ivf_build_index,
+        ivf_query,
+        ivf_scan_stats,
+    )
+
+    d = str(tmp_path)
+    spark.range(5000).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 7).cast("int").alias("label"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id") * 100 + i), F.lit(1000))
+                / 500.0
+                - 1.0
+            ).cast("float"),
+        ).alias("embedding"),
+    ).write.parquet(d + "/embeddings.parquet")
+
+    idx = ivf_build_index(spark, d)
+    assert idx.ncells == 256 and idx.nprobe_default == 32
+    stats = ivf_scan_stats(idx)
+    assert 0.05 <= stats["scanned_fraction"] <= 0.25, stats
+    rows = ivf_query(idx).collect()
+    assert len(rows) == 50 and all(r.nprobe == 32 for r in rows)
