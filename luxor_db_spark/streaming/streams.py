@@ -387,27 +387,32 @@ def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch", F.explode(F.array(epoch, epoch + 1))
     ).alias("a")
     b = blocks.withColumn("epoch", epoch).alias("b")
-    # The popcount verification is a stateless per-row check and runs as
-    # a batch filter over the drained sink — the banding-stage/
-    # verification-stage split a production pipeline uses, keeping the
-    # stateful operator's condition purely structural.
-    j = a.join(
-        b,
-        F.expr(
-            "a.blk_i = b.blk_i AND a.blk = b.blk AND a.epoch = b.epoch "
-            "AND a.doc_id < b.doc_id "
-            "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOURS"
-        ),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.blk_i").cast("int").alias("blk_i"),
-        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-        .cast("int")
-        .alias("hamming"),
+    # The popcount verification runs IN-STREAM (Catalyst merges the
+    # cross-side filter into the join condition — verified harmless: the
+    # state-cleanup predicates still derive from the ts conjuncts with
+    # the bit_count term present, same as with the `doc_id <` term), so
+    # the sink stores only VERIFIED pairs — at scale the sink is a real
+    # table and unverified band collisions would multiply its volume.
+    j = (
+        a.join(
+            b,
+            F.expr(
+                "a.blk_i = b.blk_i AND a.blk = b.blk "
+                "AND a.epoch = b.epoch AND a.doc_id < b.doc_id "
+                "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOURS"
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.blk_i").cast("int").alias("blk_i"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 7)
     )
-    sink = _drain(j, "stream_simhash_dedup", "append")
-    return sink.filter(F.col("hamming") <= 7)
+    return _drain(j, "stream_simhash_dedup", "append")
 
 
 @query(
