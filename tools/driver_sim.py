@@ -18,8 +18,18 @@ Usage:
     python tools/driver_sim.py key1 key2 ...   # specific keys
     python tools/driver_sim.py --window        # predicted ~50-key window
     python tools/driver_sim.py --all           # every registered key
+    python tools/driver_sim.py --all --ledger r10   # + persist per-key secs
 
 Prints one JSON line per key and a final summary line.
+
+``--ledger LABEL`` (r9 verdict ask #7): the bench covers only ~50 headline
+keys, so a regression on a non-headline key (like the r7→r9 five-key drift)
+surfaces only if someone happens to look. This flag persists every key's
+wall seconds into ``docs/registry_timings.json`` under LABEL (one column
+per round) so ``tools/timing_diff.py`` can diff rounds over the FULL
+registry automatically. Timings are sf0.01/vanilla-session — coarser than
+bench but uniform across all 259 keys, which is what a drift tripwire
+needs.
 """
 
 from __future__ import annotations
@@ -160,11 +170,41 @@ def check_key(key, fn, oracle_sql, spark, con) -> dict:
     return out
 
 
+def _update_ledger(label: str, results: list[dict]) -> str:
+    """Merge this sweep's per-key seconds into docs/registry_timings.json
+    under ``label``. Idempotent per label (a re-run overwrites its own
+    column, never another round's)."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "registry_timings.json",
+    )
+    try:
+        with open(path) as fh:
+            ledger = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        ledger = {}
+    for r in results:
+        ledger.setdefault(r["key"], {})[label] = r["sec"]
+    with open(path, "w") as fh:
+        json.dump(ledger, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    return path
+
+
 def main(argv: list[str]) -> int:
     import __spark_entry__ as entry
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    ledger_label = None
+    if "--ledger" in argv:
+        i = argv.index("--ledger")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("-"):
+            print("--ledger needs a label (e.g. r10)", file=sys.stderr)
+            return 2
+        ledger_label = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     if "--window" in argv:
         from luxor_db_spark.driver_coverage import expected_window
 
@@ -192,6 +232,9 @@ def main(argv: list[str]) -> int:
         r = check_key(k, qs[k], oracles.get(k), spark, con)
         results.append(r)
         print(json.dumps(r, default=str), flush=True)
+    if ledger_label is not None:
+        path = _update_ledger(ledger_label, results)
+        print(json.dumps({"ledger": path, "label": ledger_label}))
     n_bad = sum(r["status"] in ("FAIL", "ERROR") for r in results)
     print(
         json.dumps(

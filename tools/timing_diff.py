@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Round-over-round full-registry timing diff (r9 verdict ask #7).
+
+Reads ``docs/registry_timings.json`` (written by ``driver_sim --ledger``)
+and renders ``docs/TIMINGS.md``: one row per registered key with the two
+requested rounds' seconds and the delta, sorted by worst regression first,
+plus a summary header. The bench covers ~50 headline keys; this ledger is
+the tripwire for the other ~210 — the r7→r9 five-key drift went unnoticed
+for two rounds because nothing diffed non-headline timings automatically.
+
+Usage:
+    python tools/timing_diff.py r9 r10          # render + print worst 10
+    python tools/timing_diff.py r9 r10 --fail-pct 50   # exit 1 on worse
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER = os.path.join(REPO, "docs", "registry_timings.json")
+OUT = os.path.join(REPO, "docs", "TIMINGS.md")
+
+# Keys under this many seconds in BOTH rounds are noise-dominated at
+# sf0.01 (session scheduling jitter is ~0.1-0.3 s); they are listed but
+# never counted as regressions.
+NOISE_FLOOR_S = 1.0
+
+
+def main(argv: list[str]) -> int:
+    args = [a for a in argv if not a.startswith("-")]
+    if len(args) != 2:
+        print("usage: timing_diff.py OLD_LABEL NEW_LABEL", file=sys.stderr)
+        return 2
+    old, new = args
+    fail_pct = None
+    if "--fail-pct" in argv:
+        fail_pct = float(argv[argv.index("--fail-pct") + 1])
+    with open(LEDGER) as fh:
+        ledger = json.load(fh)
+    rows = []
+    for key, cols in sorted(ledger.items()):
+        a, b = cols.get(old), cols.get(new)
+        if a is None or b is None:
+            rows.append((key, a, b, None))
+            continue
+        pct = (b - a) / a * 100 if a > 0 else 0.0
+        rows.append((key, a, b, pct))
+    diffed = [r for r in rows if r[3] is not None]
+    loud = [
+        r
+        for r in diffed
+        if max(r[1], r[2]) >= NOISE_FLOOR_S
+    ]
+    worst = sorted(loud, key=lambda r: -(r[3] or 0))
+    lines = [
+        "# Full-registry timing ledger",
+        "",
+        f"Per-key wall seconds from `driver_sim --all --ledger` "
+        f"(sf0.01, vanilla local[8] session — uniform across all keys; "
+        f"the bench's sf0.1 tuned numbers stay the headline metric). "
+        f"Diff: `{old}` → `{new}`, {len(diffed)} keys in both columns, "
+        f"noise floor {NOISE_FLOOR_S}s.",
+        "",
+        f"- total: {sum(r[1] for r in diffed):.1f}s ({old}) → "
+        f"{sum(r[2] for r in diffed):.1f}s ({new})",
+        f"- keys above noise floor: {len(loud)}",
+        f"- worse by >25% (above floor): "
+        f"{sum(1 for r in loud if r[3] > 25)}",
+        f"- better by >25% (above floor): "
+        f"{sum(1 for r in loud if r[3] < -25)}",
+        "",
+        f"| key | {old} s | {new} s | Δ% |",
+        "|---|---|---|---|",
+    ]
+    for key, a, b, pct in worst:
+        lines.append(f"| {key} | {a} | {b} | {pct:+.0f}% |")
+    quiet = [r for r in diffed if r not in loud]
+    lines += [
+        "",
+        f"<details><summary>{len(quiet)} keys under the noise floor"
+        "</summary>",
+        "",
+        f"| key | {old} s | {new} s | Δ% |",
+        "|---|---|---|---|",
+    ]
+    for key, a, b, pct in sorted(quiet, key=lambda r: -(r[3] or 0)):
+        lines.append(f"| {key} | {a} | {b} | {pct:+.0f}% |")
+    lines += ["", "</details>", ""]
+    missing = [r for r in rows if r[3] is None]
+    if missing:
+        lines.append(
+            f"Keys present in only one column: "
+            f"{', '.join(r[0] for r in missing)}"
+        )
+        lines.append("")
+    with open(OUT, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {OUT}")
+    for key, a, b, pct in worst[:10]:
+        print(f"{key}: {a}s -> {b}s ({pct:+.0f}%)")
+    if fail_pct is not None and any(r[3] > fail_pct for r in loud):
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
