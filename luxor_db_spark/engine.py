@@ -22,6 +22,14 @@ from luxor_db_spark.registry import ORACLES, load_all_queries
 from luxor_db_spark.session import configure, get_spark
 
 
+# Operator keys with an index-backed serving path. build_index,
+# load_index, and append_index all validate against this ONE whitelist
+# (r9 ADVICE: load_index accepted any key, caching an index that run()
+# then injected as index= into an operator whose signature lacks it —
+# a TypeError far from the cause).
+_INDEX_KEYS = frozenset({"llm_ann_ivf"})
+
+
 class LuxorEngine:
     """Analytical engine over the fixture catalog (or any dir with the same
     table layout). All state is a session + path: cheap to construct, safe
@@ -74,6 +82,17 @@ class LuxorEngine:
                 f"unknown operator key {key!r}; known: {sorted(queries)[:8]}..."
             )
         if key in self._indexes and "index" not in kwargs:
+            if "ncells" in kwargs:
+                # Build-affecting kwarg + cached index would silently
+                # serve a DIFFERENT quantizer tier than requested (r9
+                # ADVICE): the operator ignores ncells once index= is
+                # set. Make the conflict loud.
+                raise ValueError(
+                    f"{key!r} has a built index cached (ncells="
+                    f"{self._indexes[key].ncells}); ncells= in run() "
+                    f"would be ignored. drop_index() first, or rebuild "
+                    f"with build_index(ncells=...)."
+                )
             # A built index (see build_index) is injected automatically,
             # so repeated run() calls serve query batches off ONE fitted
             # model instead of re-training per call.
@@ -89,7 +108,7 @@ class LuxorEngine:
         reuses it — no second fit job — until `drop_index`. Returns the
         index object (an `operators.llm.IvfIndex`; ``kwargs`` reach the
         builder, e.g. ``ncells=`` to pin a quantizer tier)."""
-        if key != "llm_ann_ivf":
+        if key not in _INDEX_KEYS:
             raise KeyError(f"no index builder for operator key {key!r}")
         from luxor_db_spark.operators.llm import ivf_build_index
 
@@ -119,11 +138,29 @@ class LuxorEngine:
     def load_index(self, path: str, key: str = "llm_ann_ivf"):
         """Load a persisted index and cache it for run() — no KMeans
         fit, no corpus pass; returns the index object."""
+        if key not in _INDEX_KEYS:
+            raise KeyError(f"no index loader for operator key {key!r}")
         from luxor_db_spark.operators.llm import ivf_load_index
 
         idx = ivf_load_index(self.spark, path)
         self._indexes[key] = idx
         return idx
+
+    def append_index(self, batch: DataFrame, key: str = "llm_ann_ivf"):
+        """Assign-only incremental index update (r9 verdict ask #3):
+        route a new (vec_id, label, embedding) batch through the cached
+        index's FROZEN quantizer — no KMeans refit, no pass over the
+        already-indexed corpus. Disk-backed indexes (after save_index /
+        load_index) also get the batch appended to their
+        cell-partitioned assignment parquet. See `IvfIndex.append`."""
+        if key not in _INDEX_KEYS:
+            raise KeyError(f"no index for operator key {key!r}")
+        if key not in self._indexes:
+            raise KeyError(
+                f"no built index for {key!r}; call build_index or "
+                f"load_index first"
+            )
+        return self._indexes[key].append(batch)
 
     def keys(self) -> list[str]:
         return sorted(load_all_queries())

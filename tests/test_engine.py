@@ -682,3 +682,118 @@ def test_engine_ann_index_save_load_round_trip(sf_dir, tmp_path):
     assert "dynamicpruningexpression(cell" in plan, (
         "loaded assignment's probe scan lost dynamic partition pruning"
     )
+
+
+def test_engine_ann_index_append_assign_only(spark, sf_dir):
+    """r9 verdict ask #3: `IvfIndex.append` / `LuxorEngine.append_index`
+    grow a built index by ASSIGNING the new batch to the frozen
+    centroids — zero KMeans fit events, no re-pass over the indexed
+    corpus — and the grown index answers exactly like an assign-only
+    rebuild over the same centroids. The batch demonstrably enters
+    serving: appending an exact clone of each query vector makes the
+    clone that query's new top neighbor (sim 1.0)."""
+    import luxor_db_spark.operators.llm as llm_mod
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from luxor_db_spark.catalog import load_table
+    from luxor_db_spark.engine import LuxorEngine
+    from luxor_db_spark.operators.llm import IvfIndex, ivf_query
+
+    eng = LuxorEngine.local(sf_dir)
+    idx = eng.build_index("llm_ann_ivf")
+    corpus = load_table(eng.spark, sf_dir, "embeddings")
+    batch = corpus.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "label", "embedding"
+    )
+
+    n0 = len(llm_mod._IVF_FIT_EVENTS)
+    grown = eng.append_index(batch)
+    got = {(r.q_id, r.nb_id, r.sim) for r in ivf_query(grown).collect()}
+    assert len(llm_mod._IVF_FIT_EVENTS) == n0, "append must never refit"
+    assert grown is idx  # in-place growth of the cached index
+    for q in range(10):  # the clone is now each query's 1.0-sim neighbor
+        assert (q, q + 9000, 1.0) in got
+
+    # identical to an assign-only rebuild over the SAME centroids
+    assigned = idx.model.transform(
+        corpus.unionByName(batch).withColumn(
+            "fvec", array_to_vector(F.col("embedding").cast("array<double>"))
+        )
+    ).select("vec_id", "label", "embedding", "cell")
+    rebuilt = IvfIndex(
+        idx.ncells, idx.nprobe_default, idx.model, idx.centroids, assigned
+    )
+    assert got == {
+        (r.q_id, r.nb_id, r.sim) for r in ivf_query(rebuilt).collect()
+    }
+
+
+def test_engine_ann_index_append_durable(sf_dir, tmp_path):
+    """Disk-backed append: after save_index, append writes the batch
+    INTO the cell-partitioned assignment parquet (mode=append — no
+    rewrite of existing cells), the grown index serves it, and a
+    completely fresh load_index sees the appended vectors (durability,
+    not just the in-memory union)."""
+    import luxor_db_spark.operators.llm as llm_mod
+    from pyspark.sql import functions as F
+
+    from luxor_db_spark.catalog import load_table
+    from luxor_db_spark.engine import LuxorEngine
+    from luxor_db_spark.operators.llm import ivf_query
+
+    eng = LuxorEngine.local(sf_dir)
+    eng.build_index("llm_ann_ivf")
+    path = str(tmp_path / "ivfidx")
+    eng.save_index(path)
+    eng.drop_index()
+
+    n0 = len(llm_mod._IVF_FIT_EVENTS)
+    eng.load_index(path)
+    corpus = load_table(eng.spark, sf_dir, "embeddings")
+    batch = corpus.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "label", "embedding"
+    )
+    grown = eng.append_index(batch)
+    served = {
+        (r.q_id, r.nb_id, r.sim) for r in eng.run("llm_ann_ivf").collect()
+    }
+    assert all((q, q + 9000, 1.0) in served for q in range(10))
+    assert grown.assigned.count() == corpus.count() + 10
+
+    eng.drop_index()
+    fresh = eng.load_index(path)  # fresh listing: appended files visible
+    assert fresh.assigned.count() == corpus.count() + 10
+    refreshed = {
+        (r.q_id, r.nb_id, r.sim) for r in ivf_query(fresh).collect()
+    }
+    assert refreshed == served
+    assert len(llm_mod._IVF_FIT_EVENTS) == n0, (
+        "save/load/append lifecycle must involve zero fits"
+    )
+
+
+def test_engine_index_key_and_kwarg_guards(sf_dir, tmp_path):
+    """r9 ADVICE trio: load_index/append_index validate the key against
+    the index whitelist (a wrong key used to cache an index that run()
+    injected into an operator without an index= parameter — TypeError
+    far from the cause), and run() with a cached index REFUSES
+    build-affecting kwargs instead of silently serving a different
+    quantizer tier."""
+    import pytest as _pytest
+
+    from luxor_db_spark.engine import LuxorEngine
+
+    eng = LuxorEngine.local(sf_dir)
+    with _pytest.raises(KeyError, match="no index loader"):
+        eng.load_index(str(tmp_path), key="llm_dedup_near")
+    with _pytest.raises(KeyError, match="no index for"):
+        eng.append_index(None, key="llm_dedup_near")
+    with _pytest.raises(KeyError, match="no built index"):
+        eng.append_index(None)
+
+    eng.build_index("llm_ann_ivf")
+    with _pytest.raises(ValueError, match="ncells= in run"):
+        eng.run("llm_ann_ivf", ncells=64)
+    # non-build kwargs still flow through the cached index
+    assert eng.run("llm_ann_ivf", nprobe=2).count() == 50

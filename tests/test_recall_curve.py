@@ -366,3 +366,95 @@ def test_ivf_auto_tier_promotes_past_first_boundary(spark, tmp_path):
     assert 0.05 <= stats["scanned_fraction"] <= 0.25, stats
     rows = ivf_query(idx).collect()
     assert len(rows) == 50 and all(r.nprobe == 32 for r in rows)
+
+
+def _clustered_corpus(spark, path: str, n: int, ncenters: int = 64) -> None:
+    """n vectors in 16-d around ncenters well-separated hash-derived
+    centers (vector = center + small per-vector noise) — the CLUSTERED
+    regime IVF is built for, so recall floors here are tight pins."""
+    from pyspark.sql import functions as F
+
+    spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % ncenters).cast("int").alias("label"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (
+                (
+                    F.pmod(
+                        F.xxhash64((F.col("id") % ncenters) * 16 + i),
+                        F.lit(2000),
+                    )
+                    / 100.0
+                    - 10.0
+                )
+                + (
+                    F.pmod(
+                        F.xxhash64(F.col("id") * 16 + i + 999), F.lit(200)
+                    )
+                    / 200.0
+                    - 0.5
+                )
+            ).cast("float"),
+        ).alias("embedding"),
+    ).write.mode("overwrite").parquet(path + "/embeddings.parquet")
+
+
+def test_ivf_tier3_real_fit_with_scaled_training_floor(
+    spark, tmp_path, monkeypatch
+):
+    """r9 verdict ask #2: the LAST tier must be exercised by a REAL fit
+    whose training set honors the tier-scaled floor (>= 64 points per
+    centroid), not just unit-mapped. The production boundaries put tier
+    3 past 1M vectors, so the grid is lowered (same code path: two
+    bounded probes -> last tier -> denominator sampling against the
+    scaled floor -> fit) and run on a 70k clustered corpus:
+
+    - auto-tiering resolves the LAST tier (64 cells here) via the second
+      bounded probe;
+    - the hash-fraction sampler must reject denominators that undershoot
+      64 x ncells and train on >= that floor (the fit-event ledger
+      records the bounded lower bound — under the old fixed floor this
+      fit would have trained on max(64, 4*64)=256 points, 4/centroid);
+    - measured scanned fraction sits at the tier's nominal nprobe/ncells;
+    - recall@5 vs exact truth is pinned high — clustered data is IVF's
+      design regime, so a quantizer underfit (the r9-flagged risk this
+      floor exists to prevent) would show up directly here."""
+    import luxor_db_spark.operators.llm as llm_mod
+    from tools.ann_recall import exact_top5
+
+    monkeypatch.setattr(
+        llm_mod, "_IVF_TIERS", ((512, 4, 2), (2048, 16, 4), (None, 64, 8))
+    )
+    monkeypatch.setattr(llm_mod, "_IVF_TRAIN_CAP", 1024)
+    d = str(tmp_path)
+    _clustered_corpus(spark, d, 70_000)
+
+    idx = llm_mod.ivf_build_index(spark, d)
+    assert idx.ncells == 64 and idx.nprobe_default == 8
+    ev = llm_mod._IVF_FIT_EVENTS[-1]
+    assert ev["ncells"] == 64
+    assert ev["train_points_lb"] >= llm_mod._IVF_TRAIN_PER_CELL * 64, ev
+
+    stats = llm_mod.ivf_scan_stats(idx)
+    assert 0.08 <= stats["scanned_fraction"] <= 0.20, stats
+
+    truth = exact_top5(spark, d)
+    got = {(r.q_id, r.nb_id) for r in llm_mod.ivf_query(idx).collect()}
+    assert len(truth & got) / len(truth) >= 0.9, stats
+
+
+def test_ivf_explicit_ncells_validated_against_corpus(spark, sf_dir):
+    """r9 ADVICE: ncells past the corpus size must fail with a clear
+    ValueError before KMeans sees k > n (the fixture corpus is 500
+    vectors), and nonsense ncells fails the same way."""
+    import pytest as _pytest
+
+    from luxor_db_spark.operators.llm import ivf_build_index
+
+    with _pytest.raises(ValueError, match="exceeds the corpus size"):
+        ivf_build_index(spark, sf_dir, ncells=4096)
+    with _pytest.raises(ValueError, match="ncells must be >= 1"):
+        ivf_build_index(spark, sf_dir, ncells=0)
+    # the boundary itself is legal: k == n fits (one point per cell)
+    assert ivf_build_index(spark, sf_dir, ncells=500) is not None
