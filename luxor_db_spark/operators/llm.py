@@ -167,6 +167,26 @@ def _docs_tokenized(
     return docs
 
 
+# Observability ledger for llm_dedup_near's AUTO form selection (mirrors
+# _IVF_FIT_EVENTS): one entry per auto-probed call with the sampled df
+# estimate and the form chosen, so tests/harnesses can pin the decision
+# without re-deriving it.
+_DEDUP_NEAR_FORM_EVENTS: list[dict] = []
+
+# Doc-sample denominator for the auto probe: 1/16 of documents, selected
+# by a deterministic xxhash64 residue class (reproducible across runs and
+# partitionings, unlike Bernoulli sample()).
+_DEDUP_NEAR_PROBE_FRAC = 16
+
+# (sf_dir, df_cap) -> sampled df estimate. The df distribution of a
+# static corpus doesn't change between calls, so repeated auto calls on
+# the same directory (query loops, the bench's median-of-5) pay the
+# probe once; the cache only ever affects WHICH equivalent form runs,
+# never the output. Path-less `docs=` frames are never cached (their
+# content isn't identified by a key).
+_DEDUP_NEAR_PROBE_CACHE: dict[tuple[str, int], int] = {}
+
+
 @query(
     "llm_dedup_near",
     oracle=f"""
@@ -192,7 +212,7 @@ def llm_dedup_near(
     spark: SparkSession,
     sf_dir: str,
     *,
-    skew_safe: bool = True,
+    skew_safe: bool | None = None,
     df_cap: int | None = _DF_CAP,
     prefix_filter: bool = False,
     docs: DataFrame | None = None,
@@ -207,9 +227,20 @@ def llm_dedup_near(
     ground truth `tools/recall_curve.py` measures the capped and LSH
     paths against.
 
-    Two equivalent df-cap forms (identical output, asserted in tests):
+    Two equivalent df-cap forms (identical output, asserted in tests).
+    ``skew_safe=None`` (DEFAULT) AUTO-SELECTS between them with a bounded
+    sampled max-df probe (r9 verdict ask #5): a deterministic 1/16 doc
+    sample's hottest shingle df, scaled by the sample denominator,
+    estimates the corpus max df; the skew-safe form is chosen iff the
+    estimate reaches 2× the cap. The estimator misses only shingles
+    whose true df is O(cap) — exactly the regime where the window form's
+    single-task buffer is a few hundred rows and harmless — while a
+    genuinely Zipf-hot shingle (df ≫ cap, the regime that melts a task)
+    lands ~df/16 sample hits and is never missed. Either pick returns
+    the identical pair set, so the probe affects cost, never output.
+    The decision is recorded in `_DEDUP_NEAR_FORM_EVENTS`.
 
-    - ``skew_safe=True`` (DEFAULT — the 100 TB path): hot shingles are
+    - ``skew_safe=True`` (the 100 TB path): hot shingles are
       found with a map-side-combinable groupBy count (the shuffle carries
       partial (s, count) pairs — bounded per shingle by #map-partitions,
       immune to posting-list skew) and dropped via an un-hinted left_anti
@@ -219,17 +250,19 @@ def llm_dedup_near(
       would collect an unbounded hot set to the driver). Costs one extra
       scan+explode; at Zipf scale that is the cheap side of the trade.
       `tools/skew_stress.py --case dedup_near_cap` measures both forms on
-      an amplified Zipf corpus.
+      an amplified Zipf corpus (and asserts auto picks this one there).
     - ``skew_safe=False``: df as a COUNT window over ``partitionBy(s)`` —
       the exact partitioning the self-join needs, so the cap filter rides
       the join's own Exchange (one scan+explode, one Exchange(s), reused
       by both join sides; measured 3.2× faster at sf0.1 where no shingle
-      is hot). CAVEAT — why it is no longer the registered default: the
-      window buffers each shingle's FULL posting list in one partition
-      before the cap filter runs, so a Zipf-hot stop-shingle (df ≫ cap)
-      concentrates its postings in a single task — the exact skew the cap
-      exists to bound. Use only when the shingle df distribution is known
-      to be flat.
+      is hot). CAVEAT — why it must not run unguarded: the window
+      buffers each shingle's FULL posting list in one partition before
+      the cap filter runs, so a Zipf-hot stop-shingle (df ≫ cap)
+      concentrates its postings in a single task — the exact skew the
+      cap exists to bound. The auto probe exists to pick this form only
+      when the sampled df estimate says no shingle approaches that
+      regime; force it explicitly only when the df distribution is known
+      flat.
 
     ``prefix_filter=True`` (overrides the cap knobs): EXACT true-Jaccard
     pairs via prefix filtering (Bayardo et al., "Scaling Up All Pairs
@@ -328,6 +361,45 @@ def llm_dedup_near(
         )
         return jp.filter(F.col("jaccard") >= t).select(
             "doc_a", "doc_b", "jaccard"
+        )
+    if df_cap is not None and skew_safe is None:
+        # AUTO form selection: bounded sampled max-df probe (cached per
+        # corpus directory). The doc filter pushes below the explode
+        # (doc_id is a scan column), so the probe explodes only the
+        # 1/16 sample; the groupBy/max is map-side combinable. One
+        # driver-side scalar, like the percentile bounds in bucketed.py.
+        cache_key = (sf_dir, df_cap) if docs is None else None
+        est_max_df = (
+            _DEDUP_NEAR_PROBE_CACHE.get(cache_key)
+            if cache_key is not None
+            else None
+        )
+        cached = est_max_df is not None
+        if not cached:
+            sample_max = (
+                sh_all.filter(
+                    F.pmod(
+                        F.xxhash64("doc_id"),
+                        F.lit(_DEDUP_NEAR_PROBE_FRAC),
+                    )
+                    == 0
+                )
+                .groupBy("s")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .agg(F.max("df"))
+                .first()[0]
+            ) or 0
+            est_max_df = sample_max * _DEDUP_NEAR_PROBE_FRAC
+            if cache_key is not None:
+                _DEDUP_NEAR_PROBE_CACHE[cache_key] = est_max_df
+        skew_safe = est_max_df >= 2 * df_cap
+        _DEDUP_NEAR_FORM_EVENTS.append(
+            {
+                "est_max_df": est_max_df,
+                "df_cap": df_cap,
+                "form": "skew_safe" if skew_safe else "window",
+                "cached": cached,
+            }
         )
     if df_cap is None:
         # Uncapped ground truth (tools/recall_curve.py): quadratic in the

@@ -458,3 +458,48 @@ def test_ivf_explicit_ncells_validated_against_corpus(spark, sf_dir):
         ivf_build_index(spark, sf_dir, ncells=0)
     # the boundary itself is legal: k == n fits (one point per cell)
     assert ivf_build_index(spark, sf_dir, ncells=500) is not None
+
+
+def test_dedup_near_auto_selects_window_form_on_flat_corpus(spark, sf_dir):
+    """r9 verdict ask #5: with a flat shingle df distribution (fixture
+    max df ≈ 25 ≪ cap) the default skew_safe=None must pick the 3.2×
+    cheaper WINDOW form via the sampled max-df probe — and return the
+    identical pair set either way (output never depends on the pick)."""
+    import luxor_db_spark.operators.llm as llm_mod
+
+    auto = _pairs(llm_dedup_near(spark, sf_dir))
+    ev = llm_mod._DEDUP_NEAR_FORM_EVENTS[-1]
+    assert ev["form"] == "window", ev
+    assert ev["est_max_df"] < 2 * ev["df_cap"]
+    assert auto == _pairs(llm_dedup_near(spark, sf_dir, skew_safe=True))
+    assert auto == _pairs(llm_dedup_near(spark, sf_dir, skew_safe=False))
+
+
+def test_dedup_near_auto_selects_safe_form_on_zipf_head(spark, tmp_path):
+    """The probe's other half: a corpus whose boilerplate shingle sits
+    far past the cap must flip auto to the skew-safe form (the sampled
+    estimate sees ~df/16 hits of a df=n_docs shingle), with the same
+    pair set as both explicit forms. Miniature of
+    tools/skew_stress.py --case dedup_near_cap."""
+    from pyspark.sql import functions as F
+
+    import luxor_db_spark.operators.llm as llm_mod
+
+    d = str(tmp_path)
+    spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("common boilerplate header text here"),
+            F.concat(F.lit("u"), F.col("id").cast("string")),
+            F.concat(F.lit("v"), F.col("id").cast("string")),
+            F.concat(F.lit("w"), F.col("id").cast("string")),
+        ).alias("text"),
+    ).write.parquet(d + "/documents.parquet")
+
+    auto = _pairs(llm_dedup_near(spark, d))
+    ev = llm_mod._DEDUP_NEAR_FORM_EVENTS[-1]
+    assert ev["form"] == "skew_safe", ev
+    assert ev["est_max_df"] >= 2 * ev["df_cap"]
+    assert auto == _pairs(llm_dedup_near(spark, d, skew_safe=True))
+    assert auto == _pairs(llm_dedup_near(spark, d, skew_safe=False))

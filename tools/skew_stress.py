@@ -188,6 +188,18 @@ def run_dedup_near_case(spark: SparkSession, n_docs: int) -> int:
         )
     assert len(set(counts.values())) == 1, f"pair counts diverge: {counts}"
 
+    # Auto selection (r9 verdict ask #5): on this Zipf corpus the default
+    # skew_safe=None probe MUST pick the skew-safe form (boilerplate
+    # shingles at df = n_docs land ~n_docs/16 sample hits — unmissable),
+    # and its output must match both explicit forms.
+    import luxor_db_spark.operators.llm as llm_mod
+
+    auto_count = llm_dedup_near(spark, zdir).count()
+    ev = llm_mod._DEDUP_NEAR_FORM_EVENTS[-1]
+    assert ev["form"] == "skew_safe", f"auto probe missed the Zipf head: {ev}"
+    assert auto_count == next(iter(counts.values()))
+    print(json.dumps({"auto_selection": ev, "pairs": auto_count}), flush=True)
+
     # The structural difference is WHERE the Zipf head's row mass sits,
     # not local wall time (one shared-memory box absorbs a hot task that
     # would OOM/spill a 100 TB executor). Measure it directly: the
