@@ -93,6 +93,9 @@ HEADLINE = [
     # real multi-frame decode path
     "stream_simhash_dedup",
     "mm_frame_sample",
+    # round 10 addition: the deduped-STREAM composition (outer join
+    # chained into a windowed agg — multi-stateful append mode)
+    "stream_dedup_survivors",
 ]
 
 

@@ -183,6 +183,7 @@ _LATE_FRESH: frozenset[str] = frozenset(
     profile_table_approx
     llm_simhash_eval
     stream_simhash_dedup
+    stream_dedup_survivors
     """.split()
 )
 
@@ -234,6 +235,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "profile_table_approx": 7,
     "llm_simhash_eval": 8,
     "stream_simhash_dedup": 9,
+    "stream_dedup_survivors": 10,
 }
 
 

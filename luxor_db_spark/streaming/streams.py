@@ -415,6 +415,186 @@ def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(j, "stream_simhash_dedup", "append")
 
 
+# Sentinel doc injected to flush the final watermark of the survivor
+# pipeline (outer-join nulls and windowed-agg results are emitted only
+# once the watermark PASSES them; a finite stream's watermark stalls at
+# max(event time) - delay without a later row). Large enough to sort
+# after any fixture doc_id (so it can never be a "lower partner"), small
+# enough that ts = doc_id minutes stays far inside timestamp range.
+_SURVIVOR_FLUSH_ID = 2_000_000_000
+
+
+def _stage_flushed_docs(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (doc_id, text) + the flush sentinel as a parquet directory
+    the file source can stream. Deterministic per sf_dir (overwritten
+    each call, not accumulated); the sentinel is written as a SEPARATE
+    later file so per-file micro-batching (the invariance test hook)
+    replays it last. This staging step is fixture plumbing — a real
+    ingest pipeline's stream never ends, so its watermark advances on
+    its own."""
+    import hashlib
+    import os
+    import tempfile
+
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        "luxor_survivor_docs_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(staged)
+    spark.createDataFrame(
+        [(_SURVIVOR_FLUSH_ID, "watermark flush sentinel")],
+        "doc_id bigint, text string",
+    ).write.mode("append").parquet(staged)
+    return staged
+
+
+def _stream_survivors(docs: DataFrame) -> DataFrame:
+    """The survivor pipeline on an already-streaming (doc_id, text)
+    source: per-row simhash → 4×15-bit bands → watermarked left-OUTER
+    band self-join against in-horizon LOWER docs (hamming ≤ 7 in the
+    join condition, so "no matching row" ⇔ "no condemning partner in
+    this band-epoch") → windowed per-doc aggregation that keeps a doc
+    iff ALL its band rows came back unmatched. Factored out so the
+    batch-split invariance test can drive it from a hand-staged
+    multi-file source."""
+    sig = docs.select(
+        "doc_id",
+        F.timestamp_micros(
+            ((F.col("doc_id") + F.lit(1440)) * F.lit(60_000_000)).cast(
+                "long"
+            )
+        ).alias("ts"),
+        F.expr(_SIMHASH_ROW_SQL).alias("simhash"),
+    )
+    blocks = sig.select(
+        "doc_id",
+        "ts",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 15 * i).bitwiseAND(
+                        F.lit(0x7FFF).cast("long")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk_i", "blk"),
+    ).withWatermark("ts", "2 hours")
+    # Same time-epoch key fragmentation as stream_simhash_dedup (the
+    # hot-band O(m²) fix): the condemning side (a, the lower doc)
+    # explodes into {epoch, epoch+1}; the survivor side (b) keeps its
+    # own epoch, so each LEFT row still yields exactly one unmatched
+    # null row when no partner exists (b's epoch is unique — exploding
+    # the LEFT side instead would double the unmatched rows per band).
+    epoch = F.floor(F.unix_timestamp("ts") / 7200).cast("long")
+    a = blocks.withColumn(
+        "epoch", F.explode(F.array(epoch, epoch + 1))
+    ).alias("a")
+    b = blocks.withColumn("epoch", epoch).alias("b")
+    j = b.join(
+        a,
+        F.expr(
+            "a.blk_i = b.blk_i AND a.blk = b.blk "
+            "AND a.epoch = b.epoch AND a.doc_id < b.doc_id "
+            "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOURS "
+            "AND bit_count(a.simhash ^ b.simhash) <= 7"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("b.doc_id").alias("doc_id"),
+        F.col("b.ts").alias("ts"),
+        F.col("a.doc_id").isNotNull().cast("int").alias("condemned"),
+    )
+    # Chained stateful operator #2 (Spark 3.5+ multi-stateful append
+    # mode): group each doc's 4 band rows — matched rows arrive as the
+    # join finds partners, unmatched nulls arrive when the left state
+    # expires — and keep the doc iff nothing matched. The window key
+    # gives the agg a closable event-time scope.
+    surv = (
+        j.groupBy(F.window("ts", "1 hour"), "doc_id")
+        .agg(F.max("condemned").alias("any_hit"))
+        .filter(
+            (F.col("any_hit") == 0)
+            & (F.col("doc_id") != _SURVIVOR_FLUSH_ID)
+        )
+        .select("doc_id")
+    )
+    return surv
+
+
+def _stream_survivors_oracle() -> str:
+    from luxor_db_spark.operators.llm import _simhash_blocks_duck
+
+    return f"""
+    WITH {_simhash_blocks_duck()},
+    condemned AS (
+      SELECT DISTINCT b.doc_id
+      FROM blocks a
+      JOIN blocks b ON a.blk_i = b.blk_i AND a.blk = b.blk
+                   AND a.doc_id < b.doc_id
+                   AND b.doc_id - a.doc_id <= 120
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM condemned)
+    """
+
+
+@query("stream_dedup_survivors", oracle=_stream_survivors_oracle())
+def stream_dedup_survivors(
+    spark: SparkSession, sf_dir: str, *, staged_dir: str | None = None
+) -> DataFrame:
+    """STREAMING near-dup SURVIVOR filter (r9 verdict ask #6): the
+    deduped-stream composition of `stream_simhash_dedup` — a document
+    SURVIVES iff no lower-doc_id document within the 2-hour ingest
+    horizon shares a simhash band at Hamming ≤ 7; everything else is
+    dropped in-flight. This is the `llm_dedup_exact`-shaped output
+    (keep-lowest-per-duplicate-group) in streaming form, i.e. what a
+    100 TB ingest pipeline actually sinks: the cleaned stream, not the
+    pair list.
+
+    Mechanics: per-row simhash banding as in `stream_simhash_dedup`,
+    then a watermarked left-OUTER stream-stream self-join against
+    potential condemning partners (the full verification — band equal,
+    in-horizon, Hamming ≤ 7 — sits in the join condition, so a null
+    right side means "no such partner in this band-epoch"), chained
+    into a windowed per-doc aggregation (Spark 3.5+ multiple-stateful-
+    operator support) that emits a doc iff ALL four band rows came back
+    unmatched. Both operators' state is watermark-bounded exactly as in
+    the pair key; the hot-band epoch fragmentation carries over.
+
+    Finite-fixture plumbing: outer-join nulls and window results only
+    emit once the watermark PASSES them, and a finite replay's
+    watermark stalls at max(ts) − delay — so the staged input appends
+    one far-future sentinel row that flushes the pipeline (filtered
+    from the output; a real stream needs no sentinel, later traffic IS
+    the flush).
+
+    Oracle: batch anti-join of documents against the banded, verified,
+    horizon-restricted condemning pairs — checked row for row, so the
+    streaming result must be exactly the batch dedup on this corpus.
+    """
+    import os
+
+    if staged_dir is None:
+        staged_dir = _stage_flushed_docs(spark, sf_dir)
+    from luxor_db_spark.session import configure
+
+    configure(spark)
+    schema = spark.read.parquet(staged_dir).schema
+    rs = spark.readStream.schema(schema)
+    mft = os.environ.get("LUXOR_STREAM_MAX_FILES_PER_TRIGGER")
+    if mft:
+        rs = rs.option("maxFilesPerTrigger", int(mft))
+    docs = rs.parquet(staged_dir)
+    return _drain(
+        _stream_survivors(docs), "stream_dedup_survivors", "append"
+    )
+
+
 @query(
     "stream_static_join",
     oracle="""

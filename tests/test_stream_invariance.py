@@ -262,3 +262,138 @@ def test_stream_simhash_inorder_multibatch_equals_single(
     finally:
         del os.environ[_ENV]
     assert single and ordered == single
+
+
+# --- stream_dedup_survivors (r10, r9-verdict ask #6) ------------------------
+# The deduped-STREAM composition: left-outer band self-join chained into a
+# windowed per-doc agg (multi-stateful append mode). Same delivery
+# contract as the pair key: exact under in-order delivery, watermark
+# eviction is the out-of-order contract.
+
+
+def test_stream_survivors_state_cleanup_and_chained_stateful_plan(spark):
+    """Both stateful operators must appear in ONE executed streaming plan
+    — the outer join WITH state-cleanup predicates on both sides, and
+    the downstream streaming aggregation (StateStoreSave) — proving the
+    multi-stateful chain runs as designed with bounded state (the
+    survivor semantics need the join's null-row emission AND a closable
+    window agg; losing either silently degrades to an unbounded or
+    never-emitting plan)."""
+    from luxor_db_spark.streaming.streams import (
+        _stream_documents,
+        _stream_survivors,
+    )
+
+    docs = _stream_documents(spark, SF_DIR).select("doc_id", "text")
+    q = _stream_survivors(docs).writeStream.format("noop").start()
+    try:
+        q.processAllAvailable()
+        plan = q._jsq.explainInternal(True)
+    finally:
+        q.stop()
+    assert "StreamingSymmetricHashJoin" in plan
+    assert "LeftOuter" in plan, "survivor join must be an OUTER join"
+    assert "state cleanup [ left value predicate: (ts" in plan, (
+        "left-side state eviction predicate missing — join state unbounded"
+    )
+    assert "right value predicate: (ts" in plan, (
+        "right-side state eviction predicate missing"
+    )
+    assert "StateStoreSave" in plan, (
+        "chained streaming aggregation missing from the executed plan"
+    )
+
+
+def test_stream_survivors_complement_of_condemned_pairs(spark):
+    """Cross-key composition pin: the survivor set must be EXACTLY the
+    document set minus every doc that appears as the HIGHER id in a
+    verified pair from stream_simhash_dedup (same horizon, same
+    verification) — the two keys describe one dedup, from the pair view
+    and the stream view."""
+    from luxor_db_spark.catalog import load_table
+
+    survivors = {
+        r.doc_id
+        for r in QUERIES["stream_dedup_survivors"](spark, SF_DIR).collect()
+    }
+    condemned = {
+        r.doc_b
+        for r in QUERIES["stream_simhash_dedup"](spark, SF_DIR).collect()
+    }
+    all_docs = {
+        r.doc_id
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id")
+        .collect()
+    }
+    assert survivors == all_docs - condemned
+    assert survivors and condemned  # fixture exercises both sides
+
+
+def test_stream_survivors_inorder_multibatch_equals_single(
+    spark, tmp_path_factory
+):
+    """IN-ORDER delivery across micro-batches preserves the survivor set
+    exactly: 3 doc_id-range files + the flush sentinel LAST (delivery
+    order = event-time order via mtimes), one file per trigger. Exercises
+    watermark advancement BETWEEN batches through both stateful
+    operators — join state eviction must only drop docs already outside
+    every future row's horizon, and window results must flush as the
+    watermark passes them, batch boundaries notwithstanding."""
+    import glob
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from luxor_db_spark.streaming.streams import (
+        _SURVIVOR_FLUSH_ID,
+        _stage_flushed_docs,
+    )
+
+    root = tmp_path_factory.mktemp("surv_split")
+    staged = os.path.join(str(root), "staged")
+    os.makedirs(staged)
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+    n_docs = docs.count()
+    bounds = [0, n_docs // 3, 2 * n_docs // 3, n_docs]
+    for i in range(3):
+        part = docs.filter(
+            (docs.doc_id >= bounds[i]) & (docs.doc_id < bounds[i + 1])
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(str(root), f"tmp{i}")
+        )
+        src = glob.glob(os.path.join(str(root), f"tmp{i}", "*.parquet"))[0]
+        fpath = os.path.join(staged, f"part-{i:05d}.parquet")
+        shutil.copy(src, fpath)
+        os.utime(fpath, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    spark.createDataFrame(
+        [(_SURVIVOR_FLUSH_ID, "watermark flush sentinel")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(root), "tmps")
+    )
+    src = glob.glob(os.path.join(str(root), "tmps", "*.parquet"))[0]
+    spath = os.path.join(staged, "part-99999.parquet")
+    shutil.copy(src, spath)
+    os.utime(spath, (1_000_400, 1_000_400))
+
+    single = _run(spark, SF_DIR, "stream_dedup_survivors")
+    assert os.environ.get(_ENV) is None
+    os.environ[_ENV] = "1"
+    try:
+        per_file = canonical_rows(
+            ["doc_id"],
+            [
+                tuple(r)
+                for r in QUERIES["stream_dedup_survivors"](
+                    spark, SF_DIR, staged_dir=staged
+                ).collect()
+            ],
+        )
+    finally:
+        del os.environ[_ENV]
+    assert single and per_file == single
