@@ -150,7 +150,16 @@ def _load_stale() -> frozenset[str]:
     return frozenset(stale)
 
 
-STALE_EVIDENCE: frozenset[str] = _load_stale()
+# Keys whose REGISTERED function is unchanged but whose behavior moved
+# through module-level HELPERS the per-key AST hash cannot see (the
+# ledger hashes the @query-decorated function only). Maintained by hand
+# when a round rewrites shared helpers: these re-queue exactly like
+# hash-stale keys so the driver re-verifies them. r10: ivf_build_index /
+# IvfIndex gained the tier-scaled training floor + append — llm_ann_ivf's
+# r9 green predates that.
+_HELPER_STALE: frozenset[str] = frozenset({"llm_ann_ivf"})
+
+STALE_EVIDENCE: frozenset[str] = _load_stale() | _HELPER_STALE
 
 # Driver window size observed in rounds 1-2.
 WINDOW_SIZE = 50

@@ -1579,14 +1579,30 @@ def ivf_load_index(spark: SparkSession, path: str) -> IvfIndex:
 
 
 def ivf_probe_cells(
-    index: IvfIndex, *, nprobe: int, n_queries: int = 10
+    index: IvfIndex,
+    *,
+    nprobe: int,
+    n_queries: int = 10,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
-    """(q_id, qv, cell) — the ``nprobe`` nearest cells per query vector
-    (queries = the corpus's first ``n_queries`` vec_ids, the harness
-    convention shared with the exact-truth tools)."""
-    queries = index.assigned.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
-    )
+    """(q_id, qv, cell) — the ``nprobe`` nearest cells per query vector.
+
+    ``queries=None`` uses the corpus's first ``n_queries`` vec_ids (the
+    harness convention shared with the exact-truth tools); passing a
+    (q_id, qv) DataFrame serves an EXTERNAL query batch against the same
+    index — the real serving entry point: the batch never touches the
+    corpus scan, it only broadcast-joins the driver-small centroids."""
+    if queries is None:
+        queries = index.assigned.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        )
+    else:
+        missing = {"q_id", "qv"} - set(queries.columns)
+        if missing:
+            raise ValueError(
+                f"external query batch missing columns {sorted(missing)}"
+            )
+        queries = queries.select("q_id", "qv")
     return (
         queries.crossJoin(broadcast(index.centroids))
         .withColumn("d", _cosine(F.col("qv"), F.col("centroid")))
@@ -1609,13 +1625,21 @@ def ivf_query(
     nprobe: int | None = None,
     n_queries: int = 10,
     k: int = 5,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` approximate neighbors per query against a built index.
     ``nprobe=None`` uses the index's tier default. Reusable across any
-    number of batches without re-fitting the quantizer."""
+    number of batches without re-fitting the quantizer; ``queries=``
+    serves an external (q_id, qv) batch (see `ivf_probe_cells`). The
+    ``vec_id != q_id`` self-exclusion is inert for external ids that
+    don't collide with corpus vec_ids — give external queries their own
+    id space (e.g. negative) to keep a corpus vector with the same id
+    eligible as a neighbor."""
     if nprobe is None:
         nprobe = index.nprobe_default
-    qc = ivf_probe_cells(index, nprobe=nprobe, n_queries=n_queries)
+    qc = ivf_probe_cells(
+        index, nprobe=nprobe, n_queries=n_queries, queries=queries
+    )
     scored = (
         index.assigned.join(broadcast(qc), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -1666,6 +1690,7 @@ def llm_ann_ivf(
     nprobe: int | None = None,
     ncells: int | None = None,
     index: IvfIndex | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer auto-tiered to the corpus
     (`_IVF_TIERS`: 16 → 256 → 4096 cells as N crosses 4k → 1M), probe
@@ -1684,7 +1709,10 @@ def llm_ann_ivf(
     builds a fresh index per call unless the caller passes ``index=``
     (as `LuxorEngine.run` does automatically after
     `LuxorEngine.build_index("llm_ann_ivf")`), so a user serving many
-    query batches fits KMeans exactly once.
+    query batches fits KMeans exactly once. ``queries=`` (a (q_id, qv)
+    DataFrame) serves an EXTERNAL batch instead of the default
+    first-10-corpus-vectors harness convention — the production entry
+    point for ad-hoc lookups against a built/loaded index.
 
     Measured recall@5 vs the exact brute force (tools/ann_recall.py,
     sf0.01 fixtures — tier 16, where every fixture lands): nprobe 2 →
@@ -1707,7 +1735,7 @@ def llm_ann_ivf(
         return spark.createDataFrame(
             [], "q_id bigint, nb_id bigint, sim double, nprobe int"
         )
-    return ivf_query(index, nprobe=nprobe)
+    return ivf_query(index, nprobe=nprobe, queries=queries)
 
 
 # --- corpus management: sharding / mixing / sampling ------------------------

@@ -797,3 +797,43 @@ def test_engine_index_key_and_kwarg_guards(sf_dir, tmp_path):
         eng.run("llm_ann_ivf", ncells=64)
     # non-build kwargs still flow through the cached index
     assert eng.run("llm_ann_ivf", nprobe=2).count() == 50
+
+
+def test_engine_ann_external_query_batch(spark, sf_dir):
+    """External-batch serving (r10): `run("llm_ann_ivf", queries=...)`
+    answers an ad-hoc (q_id, qv) batch against the CACHED index — zero
+    extra fits — and a query vector equal to a corpus vector must return
+    that vector as its 1.0-sim top neighbor. Negative q_ids keep the
+    self-exclusion inert. A malformed batch fails loudly."""
+    import pytest as _pytest
+
+    import luxor_db_spark.operators.llm as llm_mod
+    from pyspark.sql import functions as F
+
+    from luxor_db_spark.catalog import load_table
+    from luxor_db_spark.engine import LuxorEngine
+
+    eng = LuxorEngine.local(sf_dir)
+    eng.build_index("llm_ann_ivf")
+    n0 = len(llm_mod._IVF_FIT_EVENTS)
+
+    corpus = load_table(eng.spark, sf_dir, "embeddings")
+    batch = corpus.filter(F.col("vec_id") < 3).select(
+        (-F.col("vec_id") - 1).alias("q_id"), F.col("embedding").alias("qv")
+    )
+    rows = eng.run("llm_ann_ivf", queries=batch).collect()
+    assert len(llm_mod._IVF_FIT_EVENTS) == n0, "external batch must not refit"
+    assert {r.q_id for r in rows} == {-1, -2, -3}
+    assert len(rows) == 15  # 3 queries x top-5
+    top = {
+        r.q_id: r.nb_id
+        for r in rows
+        if r.sim == 1.0
+    }
+    assert top == {-1: 0, -2: 1, -3: 2}  # each finds its corpus twin
+
+    with _pytest.raises(ValueError, match="missing columns"):
+        eng.run(
+            "llm_ann_ivf",
+            queries=batch.withColumnRenamed("qv", "vector"),
+        ).collect()
