@@ -210,7 +210,14 @@ def main(argv: list[str]) -> int:
 
         keys = expected_window(list(qs))
     elif "--all" in argv:
-        keys = list(qs)
+        # FIXED alphabetical order (not the round-varying coverage
+        # order): the timing ledger diffs per-key seconds across rounds,
+        # and a key's position in the sequential sweep sets how warm the
+        # session is when it runs — with coverage order, every rotation
+        # reshuffled positions and minted phantom ±2-4x "drift" on
+        # sub-second keys (r10: fn_string "+415%" was purely its move
+        # from late-suite to slot 2). Same-position ⇒ comparable.
+        keys = sorted(qs)
     else:
         keys = [a for a in argv if not a.startswith("-")]
         unknown = [k for k in keys if k not in qs]
@@ -218,6 +225,13 @@ def main(argv: list[str]) -> int:
             print(f"unknown or missing keys: {unknown}", file=sys.stderr)
             return 2
     spark = _vanilla_spark()
+    if ledger_label is not None:
+        # Warm the JVM/footers before the first TIMED key so slot-1
+        # doesn't absorb session startup into its ledger column.
+        try:
+            qs[keys[0]](spark, SF_DIR).count()
+        except Exception:  # noqa: BLE001 — warm-up must never gate
+            pass
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     from luxor_db_spark.catalog import TABLES, table_path

@@ -72,6 +72,14 @@ def main(argv: list[str]) -> int:
         f"- better by >25% (above floor): "
         f"{sum(1 for r in loud if r[3] < -25)}",
         "",
+        "Calibration (r10 drift probe, `tools/drift_probe.py`): same-code "
+        "same-order quiet re-runs show ~±25-30% per-key spread at this "
+        "scale, roughly symmetric. Read a SINGLE round's delta only as a "
+        "tripwire; treat a key as regressed when its delta is large AND "
+        "one-sided across two consecutive rounds (real regressions "
+        "compound, noise reverses), then confirm with the probe's "
+        "alternating-worktree bisect before touching code.",
+        "",
         f"| key | {old} s | {new} s | Δ% |",
         "|---|---|---|---|",
     ]
