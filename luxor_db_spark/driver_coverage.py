@@ -193,6 +193,7 @@ _LATE_FRESH: frozenset[str] = frozenset(
     llm_simhash_eval
     stream_simhash_dedup
     stream_dedup_survivors
+    llm_ann_ivfpq
     """.split()
 )
 
@@ -245,6 +246,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "llm_simhash_eval": 8,
     "stream_simhash_dedup": 9,
     "stream_dedup_survivors": 10,
+    "llm_ann_ivfpq": 10,
 }
 
 

@@ -27,7 +27,11 @@ from luxor_db_spark.session import configure, get_spark
 # (r9 ADVICE: load_index accepted any key, caching an index that run()
 # then injected as index= into an operator whose signature lacks it —
 # a TypeError far from the cause).
-_INDEX_KEYS = frozenset({"llm_ann_ivf"})
+_INDEX_KEYS = frozenset({"llm_ann_ivf", "llm_ann_ivfpq"})
+# Lifecycle support varies by index kind; wrong-kind calls must fail at
+# the call site with the capability named, not deep in serialization.
+_PERSISTABLE_INDEX_KEYS = frozenset({"llm_ann_ivf"})
+_APPENDABLE_INDEX_KEYS = frozenset({"llm_ann_ivf"})
 
 
 class LuxorEngine:
@@ -82,16 +86,17 @@ class LuxorEngine:
                 f"unknown operator key {key!r}; known: {sorted(queries)[:8]}..."
             )
         if key in self._indexes and "index" not in kwargs:
-            if "ncells" in kwargs:
+            build_kwargs = {"ncells", "m", "k"} & set(kwargs)
+            if build_kwargs:
                 # Build-affecting kwarg + cached index would silently
-                # serve a DIFFERENT quantizer tier than requested (r9
-                # ADVICE): the operator ignores ncells once index= is
-                # set. Make the conflict loud.
+                # serve a DIFFERENT quantizer than requested (r9
+                # ADVICE): the operator ignores build parameters once
+                # index= is set. Make the conflict loud.
                 raise ValueError(
-                    f"{key!r} has a built index cached (ncells="
-                    f"{self._indexes[key].ncells}); ncells= in run() "
-                    f"would be ignored. drop_index() first, or rebuild "
-                    f"with build_index(ncells=...)."
+                    f"{key!r} has a built index cached; "
+                    f"{sorted(build_kwargs)} in run() would be "
+                    f"ignored. drop_index() first, or rebuild with "
+                    f"build_index(...)."
                 )
             # A built index (see build_index) is injected automatically,
             # so repeated run() calls serve query batches off ONE fitted
@@ -107,12 +112,21 @@ class LuxorEngine:
         every subsequent ``run("llm_ann_ivf", ...)`` on this engine
         reuses it — no second fit job — until `drop_index`. Returns the
         index object (an `operators.llm.IvfIndex`; ``kwargs`` reach the
-        builder, e.g. ``ncells=`` to pin a quantizer tier)."""
+        builder, e.g. ``ncells=`` to pin a quantizer tier). For
+        ``llm_ann_ivfpq`` the same call fits the IVF grid PLUS the m
+        per-subspace PQ codebooks and caches the coded corpus
+        (``kwargs`` e.g. ``m=`` / ``k=`` reach `pq_build_index`)."""
         if key not in _INDEX_KEYS:
             raise KeyError(f"no index builder for operator key {key!r}")
-        from luxor_db_spark.operators.llm import ivf_build_index
+        from luxor_db_spark.operators.llm import (
+            ivf_build_index,
+            pq_build_index,
+        )
 
-        idx = ivf_build_index(self.spark, self.sf_dir, **kwargs)
+        builder = (
+            pq_build_index if key == "llm_ann_ivfpq" else ivf_build_index
+        )
+        idx = builder(self.spark, self.sf_dir, **kwargs)
         if idx is None:
             raise ValueError(
                 f"cannot build {key!r} index: embeddings corpus is empty"
@@ -129,6 +143,11 @@ class LuxorEngine:
         fitted model + the assignment as CELL-PARTITIONED parquet, so a
         later `load_index` serves probes that scan only the probed
         cells' partitions — the durable half of the index lifecycle."""
+        if key not in _PERSISTABLE_INDEX_KEYS:
+            raise KeyError(
+                f"{key!r} indexes have no persistence path yet "
+                f"(persistable: {sorted(_PERSISTABLE_INDEX_KEYS)})"
+            )
         if key not in self._indexes:
             raise KeyError(f"no built index for {key!r}; call build_index")
         from luxor_db_spark.operators.llm import ivf_save_index
@@ -138,7 +157,7 @@ class LuxorEngine:
     def load_index(self, path: str, key: str = "llm_ann_ivf"):
         """Load a persisted index and cache it for run() — no KMeans
         fit, no corpus pass; returns the index object."""
-        if key not in _INDEX_KEYS:
+        if key not in _PERSISTABLE_INDEX_KEYS:
             raise KeyError(f"no index loader for operator key {key!r}")
         from luxor_db_spark.operators.llm import ivf_load_index
 
@@ -153,8 +172,13 @@ class LuxorEngine:
         already-indexed corpus. Disk-backed indexes (after save_index /
         load_index) also get the batch appended to their
         cell-partitioned assignment parquet. See `IvfIndex.append`."""
-        if key not in _INDEX_KEYS:
-            raise KeyError(f"no index for operator key {key!r}")
+        if key not in _APPENDABLE_INDEX_KEYS:
+            raise KeyError(
+                f"no index append for operator key {key!r} "
+                f"(appendable: {sorted(_APPENDABLE_INDEX_KEYS)}; an "
+                f"IVF-PQ index additionally needs the new originals "
+                f"visible to the re-rank fetch — rebuild instead)"
+            )
         if key not in self._indexes:
             raise KeyError(
                 f"no built index for {key!r}; call build_index or "

@@ -1738,6 +1738,304 @@ def llm_ann_ivf(
     return ivf_query(index, nprobe=nprobe, queries=queries)
 
 
+# --- IVF-PQ: product-quantized fine scoring over the IVF grid ---------------
+#
+# The IVF index prunes WHICH vectors are scored (nprobe/ncells of the
+# corpus); at 100 TB the remaining cost is reading the full float vectors
+# of every scanned cell — 256 B/vector at dim 64. Product quantization
+# (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011 — the FAISS IVFPQ shape) cuts that to m bytes:
+# split each L2-NORMALIZED vector into m sub-vectors, k-means each
+# subspace to k codewords, store only the m code ids. A query scores a
+# code by summing per-subspace dot products against the codewords
+# (asymmetric distance computation), so the probe scan touches codes +
+# a driver-small codebook, never the raw vectors; the few top-R
+# shortlist rows are then re-ranked with EXACT cosine by fetching their
+# originals from the corpus table (broadcast shortlist equi-join —
+# bounded by q×R, not by the corpus).
+
+_PQ_M = 8  # subspaces (codes bytes per vector; dim must divide by m)
+# Codewords per subspace. Measured on the isotropic sf0.01 fixture
+# (tools/ann_recall.py truth): ADC-only recall@5 0.42 at k=32 vs 0.32 at
+# k=16 for the same 1-byte/sub code. Bounded at 127 by the TINYINT code
+# column (signed); larger codebooks need a code-dtype change, not just
+# the knob.
+_PQ_K = 32
+
+
+class IvfPqIndex:
+    """IVF coarse grid + per-subspace PQ codebooks + the lazy coded
+    corpus (vec_id, label, cell, codes). ``codebooks`` is a driver-small
+    m×k×(dim/m) nested list shipped into expressions as a literal —
+    no ML model objects are needed to serve, only this table."""
+
+    def __init__(
+        self,
+        ivf: IvfIndex,
+        m: int,
+        k: int,
+        dim: int,
+        codebooks: list,
+        coded: DataFrame,
+    ):
+        self.ivf = ivf
+        self.m = m
+        self.k = k
+        self.dim = dim
+        self.codebooks = codebooks
+        self.coded = coded  # lazy: (vec_id, label, cell, codes)
+
+
+def _unit_norm(col: Column) -> Column:
+    """L2-normalized copy of a float array (doubles). PQ trains and
+    scores on the unit sphere so the ADC inner product approximates
+    cosine directly."""
+    return F.transform(col, lambda x: x.cast("double") / _l2norm(col))
+
+
+def _pq_codebook_col(codebooks: list) -> Column:
+    """The m×k×dsub codebook as a nested array literal column —
+    constant-folded and shipped once per plan (m·k·dsub doubles,
+    driver-small by construction)."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in cw])
+                    for cw in sub
+                ]
+            )
+            for sub in codebooks
+        ]
+    )
+
+
+def _pq_encode_expr(m: int, k: int, dsub: int) -> str:
+    """codes = per-subspace argmin-distance codeword id, computed from
+    the `nv` (normalized vector) and `cb` (codebook) columns entirely in
+    JVM higher-order functions — the encoder IS the codebook, no model
+    objects. element_at is 1-based throughout."""
+    dist = (
+        f"aggregate(sequence(1, {dsub}), CAST(0 AS DOUBLE), (a2, t) -> "
+        f"a2 + pow(element_at(nv, i * {dsub} + t) - "
+        f"element_at(element_at(element_at(cb, i + 1), j + 1), t), 2))"
+    )
+    return (
+        f"transform(sequence(0, {m - 1}), i -> CAST("
+        f"array_position("
+        f"  transform(sequence(0, {k - 1}), j -> {dist}),"
+        f"  array_min(transform(sequence(0, {k - 1}), j -> {dist}))"
+        f") - 1 AS TINYINT))"
+    )
+
+
+def _pq_adc_expr(m: int, dsub: int) -> str:
+    """ADC score = Σ_i dot(q_sub_i, codeword[i][codes[i]]) from the
+    `qv` (normalized query), `cb`, and `codes` columns."""
+    return (
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE), (acc, i) -> "
+        f"acc + aggregate(sequence(1, {dsub}), CAST(0 AS DOUBLE), "
+        f"(a2, t) -> a2 + element_at(qv, i * {dsub} + t) * "
+        f"element_at(element_at(element_at(cb, i + 1), "
+        f"CAST(element_at(codes, i + 1) AS INT) + 1), t)))"
+    )
+
+
+def pq_build_index(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    ncells: int | None = None,
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+) -> IvfPqIndex | None:
+    """Fit the IVF-PQ index: the IVF coarse grid (tier-scaled, see
+    `ivf_build_index` — fit events, training floors, and bounded probes
+    all reused) plus m per-subspace KMeans codebooks trained on the same
+    bounded hash-fraction sample discipline, then the corpus encoded to
+    (vec_id, label, cell, codes) — the 100 TB materialization is this
+    coded frame partitioned by cell (m bytes/vector), while the raw
+    embeddings stay in the source table for shortlist re-ranking only.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if not 1 <= k <= 127:
+        raise ValueError(
+            f"k={k} outside [1, 127]: codes are stored as TINYINT"
+        )
+    ivf = ivf_build_index(spark, sf_dir, ncells=ncells)
+    if ivf is None:
+        return None
+    dim = len(
+        ivf.assigned.select("embedding").first()["embedding"]
+    )
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    nv = ivf.assigned.withColumn("nv", _unit_norm(F.col("embedding")))
+    # Bounded training sample, same discipline as the coarse quantizer:
+    # k centroids per subspace want >= _IVF_TRAIN_PER_CELL * k points.
+    train = nv
+    train_min = max(_IVF_TRAIN_MIN, _IVF_TRAIN_PER_CELL * k)
+    if nv.limit(train_min * 16 + 1).count() > train_min * 16:
+        for denom in _IVF_TRAIN_DENOMS:
+            cand = nv.filter(
+                F.pmod(F.xxhash64("vec_id"), F.lit(denom)) == 0
+            )
+            if cand.limit(train_min).count() >= train_min:
+                train = cand
+                break
+    train = train.localCheckpoint(eager=True)  # m fits read one scan
+    # The m subspace fits are independent Spark jobs over one pinned
+    # scan — submit them concurrently (SparkContext is thread-safe for
+    # job submission) so build wall time is ~the slowest fit, not m×.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fit(i: int) -> list:
+        sub = train.select(
+            array_to_vector(
+                F.slice(F.col("nv"), i * dsub + 1, dsub)
+            ).alias("fsub")
+        )
+        model = KMeans(
+            k=k, seed=42 + i, featuresCol="fsub", predictionCol="cw"
+        ).fit(sub)
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        codebooks = list(pool.map(_fit, range(m)))
+    coded = (
+        nv.withColumn("cb", _pq_codebook_col(codebooks))
+        .withColumn("codes", F.expr(_pq_encode_expr(m, k, dsub)))
+        .select("vec_id", "label", "cell", "codes")
+    )
+    return IvfPqIndex(ivf, m, k, dim, codebooks, coded)
+
+
+def pq_query(
+    index: IvfPqIndex,
+    corpus: DataFrame,
+    *,
+    nprobe: int | None = None,
+    n_queries: int = 10,
+    k: int = 5,
+    refine: int = 8,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` neighbors: IVF probe → ADC scan over CODES (the raw
+    vectors never enter this join) → top-(k·refine) shortlist per query
+    → exact-cosine re-rank by fetching the shortlist's originals from
+    ``corpus`` via a broadcast equi-join (bounded by q×k·refine rows).
+    ``refine=1`` serves pure-ADC ranking; raising it trades one tiny
+    fetch for recall (CI pins the monotonicity)."""
+    dsub = index.dim // index.m
+    if nprobe is None:
+        nprobe = index.ivf.nprobe_default
+    qc = ivf_probe_cells(
+        index.ivf, nprobe=nprobe, n_queries=n_queries, queries=queries
+    ).withColumn("qv", _unit_norm(F.col("qv")))
+    scored = (
+        index.coded.join(broadcast(qc), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cb", _pq_codebook_col(index.codebooks))
+        .withColumn(
+            "adc", F.expr(_pq_adc_expr(index.m, dsub))
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col("vec_id")
+    )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * refine)
+        .select("q_id", "qv", "vec_id", "adc")
+    )
+    rerank = (
+        corpus.join(
+            broadcast(shortlist),
+            corpus["vec_id"] == shortlist["vec_id"],
+        )
+        .select(
+            "q_id",
+            shortlist["vec_id"].alias("nb_id"),
+            F.round(
+                _cosine(
+                    F.col("qv"),
+                    _unit_norm(corpus["embedding"]),
+                ),
+                4,
+            ).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("nb_id")
+    )
+    return (
+        rerank.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select(
+            "q_id",
+            "nb_id",
+            "sim",
+            F.lit(int(nprobe)).cast("int").alias("nprobe"),
+        )
+    )
+
+
+def pq_stats(index: IvfPqIndex) -> dict:
+    """The compression contract: bytes per vector in the ADC scan path
+    vs the raw float32 corpus — the whole point of PQ at 100 TB."""
+    raw = index.dim * 4
+    coded = index.m  # tinyint codes
+    return {
+        "m": index.m,
+        "k": index.k,
+        "dim": index.dim,
+        "raw_bytes_per_vector": raw,
+        "coded_bytes_per_vector": coded,
+        "compression": round(raw / coded, 1),
+    }
+
+
+@query("llm_ann_ivfpq")  # rows-only: approximate by construction
+def llm_ann_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    nprobe: int | None = None,
+    refine: int = 8,
+    index: IvfPqIndex | None = None,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. TPAMI 2011; the FAISS IVFPQ layout):
+    the `llm_ann_ivf` coarse grid plus product-quantized fine scoring —
+    the probe scan reads m=8 one-byte codes per vector (32× smaller
+    than the dim-64 float32 vectors) against a driver-small broadcast
+    codebook, and only the top-(k·refine) shortlist per query fetches
+    original vectors for exact-cosine re-ranking (broadcast equi-join,
+    bounded by queries × shortlist — never a corpus pass).
+
+    This is the at-scale complement to `llm_ann_ivf`: IVF bounds WHICH
+    vectors are scored (~O(√N) per query via the tier table), PQ bounds
+    the BYTES each scored vector costs. Output shape matches
+    `llm_ann_ivf` (q_id, nb_id, sim, nprobe) with sim = exact cosine of
+    the re-ranked shortlist, so recall is directly comparable against
+    the same `tools/ann_recall.py` truth; CI pins re-rank ≥ ADC-only
+    recall and monotonicity in ``refine``. Approximate by construction
+    → rows-only key."""
+    if index is None:
+        index = pq_build_index(spark, sf_dir)
+    if index is None:
+        return spark.createDataFrame(
+            [], "q_id bigint, nb_id bigint, sim double, nprobe int"
+        )
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return pq_query(
+        index, corpus, nprobe=nprobe, refine=refine, queries=queries
+    )
+
+
 # --- corpus management: sharding / mixing / sampling ------------------------
 
 # First-hex-digit value of an md5: portable hash bucket 0..15 in both

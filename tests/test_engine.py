@@ -787,13 +787,13 @@ def test_engine_index_key_and_kwarg_guards(sf_dir, tmp_path):
     eng = LuxorEngine.local(sf_dir)
     with _pytest.raises(KeyError, match="no index loader"):
         eng.load_index(str(tmp_path), key="llm_dedup_near")
-    with _pytest.raises(KeyError, match="no index for"):
+    with _pytest.raises(KeyError, match="no index append"):
         eng.append_index(None, key="llm_dedup_near")
     with _pytest.raises(KeyError, match="no built index"):
         eng.append_index(None)
 
     eng.build_index("llm_ann_ivf")
-    with _pytest.raises(ValueError, match="ncells= in run"):
+    with _pytest.raises(ValueError, match="would be\\s+ignored"):
         eng.run("llm_ann_ivf", ncells=64)
     # non-build kwargs still flow through the cached index
     assert eng.run("llm_ann_ivf", nprobe=2).count() == 50
