@@ -30,7 +30,9 @@ from luxor_db_spark.session import configure, get_spark
 _INDEX_KEYS = frozenset({"llm_ann_ivf", "llm_ann_ivfpq"})
 # Lifecycle support varies by index kind; wrong-kind calls must fail at
 # the call site with the capability named, not deep in serialization.
-_PERSISTABLE_INDEX_KEYS = frozenset({"llm_ann_ivf"})
+# (append stays IVF-only: an appended PQ batch would be invisible to the
+# exact re-rank, which fetches originals from the corpus table.)
+_PERSISTABLE_INDEX_KEYS = frozenset({"llm_ann_ivf", "llm_ann_ivfpq"})
 _APPENDABLE_INDEX_KEYS = frozenset({"llm_ann_ivf"})
 
 
@@ -150,18 +152,26 @@ class LuxorEngine:
             )
         if key not in self._indexes:
             raise KeyError(f"no built index for {key!r}; call build_index")
-        from luxor_db_spark.operators.llm import ivf_save_index
+        from luxor_db_spark.operators.llm import (
+            ivf_save_index,
+            pq_save_index,
+        )
 
-        ivf_save_index(self._indexes[key], path)
+        saver = pq_save_index if key == "llm_ann_ivfpq" else ivf_save_index
+        saver(self._indexes[key], path)
 
     def load_index(self, path: str, key: str = "llm_ann_ivf"):
         """Load a persisted index and cache it for run() — no KMeans
         fit, no corpus pass; returns the index object."""
         if key not in _PERSISTABLE_INDEX_KEYS:
             raise KeyError(f"no index loader for operator key {key!r}")
-        from luxor_db_spark.operators.llm import ivf_load_index
+        from luxor_db_spark.operators.llm import (
+            ivf_load_index,
+            pq_load_index,
+        )
 
-        idx = ivf_load_index(self.spark, path)
+        loader = pq_load_index if key == "llm_ann_ivfpq" else ivf_load_index
+        idx = loader(self.spark, path)
         self._indexes[key] = idx
         return idx
 

@@ -1983,6 +1983,67 @@ def pq_query(
     )
 
 
+def pq_save_index(index: IvfPqIndex, path: str) -> None:
+    """Persist an IVF-PQ index: the coarse half via `ivf_save_index`
+    (meta + centroids + cell-partitioned assignment + KMeans model,
+    under {path}/ivf), plus {path}/pq_meta (1-row JSON dataset: m, k,
+    dim), {path}/codebooks (m·k rows: i, j, codeword), and {path}/coded
+    — the CELL-PARTITIONED coded corpus, the artifact that makes the
+    100 TB ADC scan real: probes read only probed cells' partitions and
+    only m bytes per vector. Everything goes through Spark's Hadoop FS
+    layer (one filesystem, same as the IVF save)."""
+    import os
+
+    spark = index.ivf.centroids.sparkSession
+    ivf_save_index(index.ivf, os.path.join(path, "ivf"))
+    (
+        spark.createDataFrame(
+            [(int(index.m), int(index.k), int(index.dim))],
+            "m int, k int, dim int",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(os.path.join(path, "pq_meta"))
+    )
+    (
+        spark.createDataFrame(
+            [
+                (i, j, cw)
+                for i, sub in enumerate(index.codebooks)
+                for j, cw in enumerate(sub)
+            ],
+            "i int, j int, codeword array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "codebooks"))
+    )
+    (
+        index.coded.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "coded"))
+    )
+
+
+def pq_load_index(spark: SparkSession, path: str) -> IvfPqIndex:
+    """Load a persisted IVF-PQ index — no fits, no corpus pass. The
+    codebook table is driver-small by construction (m·k rows) and is
+    collected once; the coded corpus stays a lazy cell-partitioned
+    read, so probes prune to probed cells exactly as after a fresh
+    build."""
+    import os
+
+    ivf = ivf_load_index(spark, os.path.join(path, "ivf"))
+    meta = spark.read.json(os.path.join(path, "pq_meta")).first()
+    m, k, dim = int(meta["m"]), int(meta["k"]), int(meta["dim"])
+    rows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    codebooks = [[None] * k for _ in range(m)]
+    for r in rows:
+        codebooks[r.i][r.j] = [float(x) for x in r.codeword]
+    coded = spark.read.parquet(os.path.join(path, "coded"))
+    return IvfPqIndex(ivf, m, k, dim, codebooks, coded)
+
+
 def pq_stats(index: IvfPqIndex) -> dict:
     """The compression contract: bytes per vector in the ADC scan path
     vs the raw float32 corpus — the whole point of PQ at 100 TB."""

@@ -594,12 +594,43 @@ def test_ivfpq_engine_lifecycle_and_guards(sf_dir):
 
     with _pytest.raises(ValueError, match="would be\\s+ignored"):
         eng.run("llm_ann_ivfpq", m=4)
-    with _pytest.raises(KeyError, match="no persistence path"):
-        eng.save_index("/tmp/nope", key="llm_ann_ivfpq")
-    with _pytest.raises(KeyError, match="no index loader"):
-        eng.load_index("/tmp/nope", key="llm_ann_ivfpq")
     with _pytest.raises(KeyError, match="no index append"):
         eng.append_index(None, key="llm_ann_ivfpq")
     with _pytest.raises(ValueError, match="TINYINT"):
         llm_mod.pq_build_index(eng.spark, sf_dir, k=200)
     assert idx.dim % idx.m == 0
+
+
+def test_ivfpq_save_load_round_trip(sf_dir, tmp_path):
+    """Durable IVF-PQ: save persists the coarse half (via the IVF
+    layout), the codebooks, and the CELL-PARTITIONED coded corpus;
+    load reconstructs the index with ZERO fits and serves identical
+    results — the codebooks survive the round trip value-exact."""
+    import luxor_db_spark.operators.llm as llm_mod
+    from luxor_db_spark.engine import LuxorEngine
+
+    eng = LuxorEngine.local(sf_dir)
+    built = eng.build_index("llm_ann_ivfpq")
+    fresh = {
+        (r.q_id, r.nb_id, r.sim)
+        for r in eng.run("llm_ann_ivfpq").collect()
+    }
+    path = str(tmp_path / "pqidx")
+    eng.save_index(path, key="llm_ann_ivfpq")
+    eng.drop_index("llm_ann_ivfpq")
+
+    n0 = len(llm_mod._IVF_FIT_EVENTS)
+    loaded = eng.load_index(path, key="llm_ann_ivfpq")
+    served = {
+        (r.q_id, r.nb_id, r.sim)
+        for r in eng.run("llm_ann_ivfpq").collect()
+    }
+    assert len(llm_mod._IVF_FIT_EVENTS) == n0, "load must not refit"
+    assert served == fresh and len(served) == 50
+    assert loaded.codebooks == built.codebooks
+    assert (loaded.m, loaded.k, loaded.dim) == (
+        built.m,
+        built.k,
+        built.dim,
+    )
+    assert dict(loaded.coded.dtypes)["codes"] == "array<tinyint>"
