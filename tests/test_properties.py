@@ -732,3 +732,55 @@ def test_hot_value_sub_buckets_work_on_date_tie_column(spark):
 
     with _pytest.raises(ValueError, match="val"):
         B.two_level_cumsum(df, ["grp"], ["k", "d"], None, out="c")
+
+
+def test_pq_encode_adc_identity_property(spark):
+    """PQ arithmetic property, fixture-free: for ANY vector corpus, (a)
+    every code is in [0, k); (b) the ADC score of a query against a
+    coded vector EQUALS the exact dot product of the query with the
+    vector's reconstruction (codeword concatenation) — ADC's defining
+    identity, which pins the encode expression (argmin codeword) and
+    the score expression (LUT sum) against each other."""
+    from pyspark.sql import functions as F
+
+    from luxor_db_spark.operators.llm import (
+        _pq_adc_expr,
+        _pq_codebook_col,
+        _pq_encode_expr,
+        _unit_norm,
+    )
+
+    m, k, dsub = 2, 4, 3  # dim 6
+    # tiny deterministic codebook + corpus
+    codebooks = [
+        [[(i * 17 + j * 5 + t) % 7 - 3.0 for t in range(dsub)] for j in range(k)]
+        for i in range(m)
+    ]
+    vecs = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(m * dsub)),
+            lambda t: (
+                F.pmod(F.xxhash64(F.col("id") * 31 + t), F.lit(11)) - 5.0
+            ).cast("double"),
+        ).alias("nv"),
+    )
+    coded = vecs.withColumn("cb", _pq_codebook_col(codebooks)).withColumn(
+        "codes", F.expr(_pq_encode_expr(m, k, dsub))
+    )
+    rows = coded.select("vec_id", "nv", "codes").collect()
+    assert all(0 <= c < k for r in rows for c in r.codes)
+
+    qv = [0.5 * t - 1.0 for t in range(m * dsub)]
+    scored = (
+        coded.withColumn("qv", F.array(*[F.lit(x) for x in qv]))
+        .withColumn("adc", F.expr(_pq_adc_expr(m, dsub)))
+        .select("vec_id", "codes", "adc")
+        .collect()
+    )
+    for r in scored:
+        recon = [
+            codebooks[i][r.codes[i]][t] for i in range(m) for t in range(dsub)
+        ]
+        exact = sum(a * b for a, b in zip(qv, recon))
+        assert abs(r.adc - exact) < 1e-9, (r.vec_id, r.adc, exact)

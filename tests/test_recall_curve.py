@@ -634,3 +634,16 @@ def test_ivfpq_save_load_round_trip(sf_dir, tmp_path):
         built.dim,
     )
     assert dict(loaded.coded.dtypes)["codes"] == "array<tinyint>"
+
+    from luxor_db_spark.operators.llm import pq_query
+
+    from luxor_db_spark.catalog import load_table
+
+    corpus = load_table(eng.spark, sf_dir, "embeddings")
+    q = pq_query(loaded, corpus, nprobe=2)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression(cell" in plan, (
+        "loaded coded corpus lost dynamic partition pruning — the ADC "
+        "scan would read every cell's partition"
+    )
