@@ -361,6 +361,9 @@ def test_broadcast_hints_only_on_constant_grain_sides():
             "prof",  # language profiles (|langs| x top-words)
             "q", "qs", "qv",  # bounded query sets / single query vector
             "qc",  # probe-cell pairs (|queries| x 2)
+            # PQ re-rank fetch list: |queries| x k*refine rows, constant
+            # in SF — the broadcast side of the originals fetch join
+            "shortlist",
             "z",  # 1-row bounds
         },
         "scans.py": {"n_s"},  # per-status counts (|statuses|)
