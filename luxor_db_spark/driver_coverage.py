@@ -194,6 +194,7 @@ _LATE_FRESH: frozenset[str] = frozenset(
     stream_simhash_dedup
     stream_dedup_survivors
     llm_ann_ivfpq
+    stream_embed_dedup
     """.split()
 )
 
@@ -247,6 +248,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "stream_simhash_dedup": 9,
     "stream_dedup_survivors": 10,
     "llm_ann_ivfpq": 10,
+    "stream_embed_dedup": 10,
 }
 
 

@@ -415,6 +415,133 @@ def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(j, "stream_simhash_dedup", "append")
 
 
+def _stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings.parquet as a Structured Streaming file source (the
+    `stream_events` recipe on the embeddings table)."""
+    import os
+
+    from luxor_db_spark.session import configure
+
+    configure(spark)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        rs = spark.readStream.schema(raw_schema)
+        mft = os.environ.get("LUXOR_STREAM_MAX_FILES_PER_TRIGGER")
+        if mft:
+            rs = rs.option("maxFilesPerTrigger", int(mft))
+        return rs.parquet(path)
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+
+
+# stream_embed_dedup contract constants: sign-pattern block width and the
+# in-stream cosine verification threshold. 8 bits (256 buckets) instead of
+# the batch key's 12: the streaming horizon already thins candidates, and
+# at 12 bits the fixture emits almost nothing — a hollow test. At scale
+# the width trades bucket size against recall exactly as in
+# llm_dedup_semantic_block; the horizon bounds state either way.
+_EMBED_STREAM_BITS = 8
+_EMBED_STREAM_MIN_COS = 0.1
+
+
+def _stream_embed_oracle() -> str:
+    from luxor_db_spark.operators.llm import _COS_DUCK, _signbits_duck
+
+    cos = _COS_DUCK.format(a="a.embedding", b="b2.embedding")
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_signbits_duck("embedding", _EMBED_STREAM_BITS)} AS blk
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+           CAST(a.blk AS INT) AS blk,
+           ROUND({cos}, 4) AS sim
+    FROM b a JOIN b b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
+                      AND b2.vec_id - a.vec_id <= 120
+    WHERE ROUND({cos}, 4) >= {_EMBED_STREAM_MIN_COS}
+    """
+
+
+@query("stream_embed_dedup", oracle=_stream_embed_oracle())
+def stream_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING embedding near-dup detection (r10): the embedding-space
+    twin of `stream_simhash_dedup`, for multimodal/embedding ingest —
+    vectors arrive as a stream (event time = vec_id minutes), are
+    blocked in-flight by the sign pattern of their first 8 dimensions
+    (the hyperplane-LSH bucket of `llm_dedup_semantic_block`, engine-
+    portable integer keys), and same-block pairs within a 2-hour
+    horizon are emitted with their cosine VERIFIED IN-STREAM (the
+    cross-side cosine sits in the join condition, so the sink stores
+    only verified pairs — unverified block collisions never hit
+    storage).
+
+    State on both sides is watermark-bounded by the ts-range conjuncts;
+    the hot-block time-epoch key fragmentation carries over from the
+    simhash key (a popular sign block is capped at one block's arrivals
+    per 2-hour window per join bucket). Norms fold once per ROW before
+    the join — each candidate pair costs one zip_with dot, not three
+    folds, mirroring the batch key's precompute.
+
+    Oracle: the batch sign-block candidates restricted to the same
+    horizon — inner time-bound stream-stream joins emit exactly the
+    qualifying rows regardless of micro-batching.
+    """
+    emb = _stream_embeddings(spark, sf_dir)
+    from luxor_db_spark.operators.llm import _dot, _l2norm
+
+    blk = None
+    for i in range(_EMBED_STREAM_BITS):
+        bit = F.when(
+            F.element_at("embedding", i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        blk = bit if blk is None else blk + bit
+    sig = emb.select(
+        "vec_id",
+        F.timestamp_micros(
+            ((F.col("vec_id") + F.lit(1440)) * F.lit(60_000_000)).cast(
+                "long"
+            )
+        ).alias("ts"),
+        "embedding",
+        _l2norm(F.col("embedding")).alias("nrm"),
+        blk.cast("int").alias("blk"),
+    ).withWatermark("ts", "2 hours")
+    epoch = F.floor(F.unix_timestamp("ts") / 7200).cast("long")
+    a = sig.withColumn(
+        "epoch", F.explode(F.array(epoch, epoch + 1))
+    ).alias("a")
+    b = sig.withColumn("epoch", epoch).alias("b")
+    sim = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
+    j = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.epoch") == F.col("b.epoch"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 2 HOURS"))
+            & (sim >= F.lit(_EMBED_STREAM_MIN_COS)),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.blk").alias("blk"),
+            sim.alias("sim"),
+        )
+    )
+    return _drain(j, "stream_embed_dedup", "append")
+
+
 # Sentinel doc injected to flush the final watermark of the survivor
 # pipeline (outer-join nulls and windowed-agg results are emitted only
 # once the watermark PASSES them; a finite stream's watermark stalls at

@@ -397,3 +397,100 @@ def test_stream_survivors_inorder_multibatch_equals_single(
     finally:
         del os.environ[_ENV]
     assert single and per_file == single
+
+
+# --- stream_embed_dedup (r10) ------------------------------------------------
+# Embedding-space twin of the simhash pair key: same delivery contract
+# (exact under in-order delivery; watermark eviction is the out-of-order
+# contract), same bounded-state obligations.
+
+
+def test_stream_embed_state_cleanup_predicates(spark):
+    """The executed plan must carry ts-derived state-cleanup predicates
+    on BOTH sides of the sign-block join — the non-time conjuncts
+    (vec_id <, the cosine fold) must not break eviction extraction.
+    Built from the module internals (the registered callable drains to
+    completion; the plan pin needs its own sink)."""
+    from pyspark.sql import functions as F
+
+    from luxor_db_spark.operators.llm import _l2norm
+    from luxor_db_spark.streaming.streams import (
+        _EMBED_STREAM_BITS,
+        _stream_embeddings,
+    )
+
+    emb = _stream_embeddings(spark, SF_DIR)
+    blk = None
+    for i in range(_EMBED_STREAM_BITS):
+        bit = F.when(
+            F.element_at("embedding", i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        blk = bit if blk is None else blk + bit
+    sig = emb.select(
+        "vec_id",
+        F.timestamp_micros(
+            ((F.col("vec_id") + F.lit(1440)) * F.lit(60_000_000)).cast(
+                "long"
+            )
+        ).alias("ts"),
+        _l2norm(F.col("embedding")).alias("nrm"),
+        blk.cast("int").alias("blk"),
+    ).withWatermark("ts", "2 hours")
+    epoch = F.floor(F.unix_timestamp("ts") / 7200).cast("long")
+    j = sig.withColumn(
+        "epoch", F.explode(F.array(epoch, epoch + 1))
+    ).alias("a").join(
+        sig.withColumn("epoch", epoch).alias("b"),
+        F.expr(
+            "a.blk = b.blk AND a.epoch = b.epoch "
+            "AND a.vec_id < b.vec_id "
+            "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOURS"
+        ),
+    )
+    q = j.writeStream.format("noop").start()
+    try:
+        q.processAllAvailable()
+        plan = q._jsq.explainInternal(True)
+    finally:
+        q.stop()
+    assert "StreamingSymmetricHashJoin" in plan
+    assert "state cleanup [ left value predicate: (ts" in plan
+    assert "right value predicate: (ts" in plan
+
+
+def test_stream_embed_inorder_multibatch_equals_single(
+    spark, tmp_path_factory
+):
+    """IN-ORDER delivery across micro-batches preserves the verified
+    pair set exactly (3 vec_id-range files, mtime order = event-time
+    order, one file per trigger)."""
+    import glob
+
+    root = tmp_path_factory.mktemp("embed_split")
+    dest = str(root / "fixtures")
+    os.makedirs(dest)
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    n = emb.count()
+    edir = os.path.join(dest, "embeddings.parquet")
+    os.makedirs(edir)
+    bounds = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        part = emb.filter(
+            (emb.vec_id >= bounds[i]) & (emb.vec_id < bounds[i + 1])
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(str(root), f"tmp{i}")
+        )
+        src = glob.glob(os.path.join(str(root), f"tmp{i}", "*.parquet"))[0]
+        fpath = os.path.join(edir, f"part-{i:05d}.parquet")
+        shutil.copy(src, fpath)
+        os.utime(fpath, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    single = _run(spark, SF_DIR, "stream_embed_dedup")
+    assert os.environ.get(_ENV) is None
+    os.environ[_ENV] = "1"
+    try:
+        ordered = _run(spark, dest, "stream_embed_dedup")
+    finally:
+        del os.environ[_ENV]
+    assert single and ordered == single
