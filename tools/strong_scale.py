@@ -76,6 +76,34 @@ EXPECTED_FLAT = {
         "replayed micro-batch - none of which a bigger local core "
         "count parallelizes (measured 23.5 s @4 -> 17.7 s @32)"
     ),
+    "stream_dedup_survivors": (
+        "same streaming fixed-overhead class as stream_simhash_dedup, "
+        "doubled: TWO stateful operators (outer join + windowed agg) "
+        "each commit shuffle.partitions state stores per micro-batch, "
+        "plus the driver-side fixture staging (~1 s); the x16 data "
+        "term is small next to that (measured 13.5 s @4 -> 16.9 s "
+        "@32 - state-store commit count GROWS with cores while the "
+        "per-store work shrinks to nothing at fixture scale)"
+    ),
+    "stream_embed_dedup": (
+        "streaming fixed overhead in its purest form: the x16 corpus "
+        "is 8k vectors, so per-partition join work is microseconds and "
+        "wall time is ~C state-store commits per stateful side - "
+        "measured INVERSE scaling 2.6 s @4 -> 9.8 s @32. At real "
+        "ingest volume the work term dominates and the (blk, epoch) "
+        "key spreads it across all stores; the data-scaling curve "
+        "(slope -0.02 to x16) is the relevant axis for this key"
+    ),
+    "llm_ann_ivfpq": (
+        "dominated by quantizer TRAINING, which is bounded-size BY "
+        "DESIGN (hash-fraction sample with a per-codeword floor): the "
+        "8 concurrent subspace fits + the coarse fit do near-constant "
+        "work no matter the cores, and x16 serving (8k vectors) is "
+        "small (measured 26.4 s @4 -> 19.4 s @16 -> 20.2 s @32). The "
+        "SERVING path scales with data like llm_ann_ivf's - cells "
+        "partition the ADC scan - while build cost is deliberately "
+        "capped; rebuilds at 100 TB cost the same as at x16"
+    ),
 }
 
 # The de-weakened keys (should now scale with cores), the heavy
