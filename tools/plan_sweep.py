@@ -39,6 +39,19 @@ FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
 # key -> {table: (max_final_scans, reason)}. Each entry documents WHY the
 # extra passes are scale-safe; an undeclared excess fails CI.
 _ALLOWED_REPEATS: dict[str, dict[str, tuple[int, str]]] = {
+    "llm_ann_ivfpq": {
+        "embeddings": (
+            3,
+            "three DIFFERENT roles in the build-per-call fixture path: "
+            "(1) the full encode lineage (the one real corpus pass), "
+            "(2) the 10-query probe side with vec_id<10 pushed to the "
+            "scan, (3) the re-rank originals fetch, row-bounded by the "
+            "broadcast top-(k*refine) shortlist hash join. Serving off "
+            "a LOADED index replaces (1) with the cell-partitioned "
+            "coded parquet (DPP-pruned, plan-pinned), leaving one tiny "
+            "and one bounded embeddings read",
+        )
+    },
     "agg_countmin": {
         "events": (3, "1 sketch-build pass + 2 probe reads with pushed user_id<20 filter (tiny selective reads)")
     },
