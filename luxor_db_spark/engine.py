@@ -88,7 +88,7 @@ class LuxorEngine:
                 f"unknown operator key {key!r}; known: {sorted(queries)[:8]}..."
             )
         if key in self._indexes and "index" not in kwargs:
-            build_kwargs = {"ncells", "m", "k"} & set(kwargs)
+            build_kwargs = {"ncells", "m", "k", "residual"} & set(kwargs)
             if build_kwargs:
                 # Build-affecting kwarg + cached index would silently
                 # serve a DIFFERENT quantizer than requested (r9

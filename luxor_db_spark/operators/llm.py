@@ -1767,7 +1767,16 @@ class IvfPqIndex:
     """IVF coarse grid + per-subspace PQ codebooks + the lazy coded
     corpus (vec_id, label, cell, codes). ``codebooks`` is a driver-small
     m×k×(dim/m) nested list shipped into expressions as a literal —
-    no ML model objects are needed to serve, only this table."""
+    no ML model objects are needed to serve, only this table.
+
+    ``residual=True`` (the IVFADC form, Jégou et al. §IV): codes
+    quantize v̂ − ĉ(cell) (unit-normalized vector minus its cell's
+    normalized centroid) instead of v̂ itself, and serving adds the
+    exactly-computed per-(query, cell) base term dot(q̂, ĉ):
+    dot(q̂, v̂) = dot(q̂, ĉ) + dot(q̂, v̂ − ĉ) for ANY fixed ĉ, so the
+    decomposition is exact and only the (smaller) residual suffers
+    quantization error. ``chat`` is the (cell, chat) normalized-centroid
+    frame — ncells rows, broadcast everywhere it joins."""
 
     def __init__(
         self,
@@ -1777,6 +1786,8 @@ class IvfPqIndex:
         dim: int,
         codebooks: list,
         coded: DataFrame,
+        residual: bool = False,
+        chat: DataFrame | None = None,
     ):
         self.ivf = ivf
         self.m = m
@@ -1784,6 +1795,17 @@ class IvfPqIndex:
         self.dim = dim
         self.codebooks = codebooks
         self.coded = coded  # lazy: (vec_id, label, cell, codes)
+        self.residual = residual
+        self.chat = chat  # (cell, chat) — ncells rows, driver-small
+
+
+def _chat_frame(ivf: IvfIndex) -> DataFrame:
+    """(cell, chat): each IVF centroid unit-normalized — the fixed
+    per-cell reference vector of the residual decomposition. Derived
+    from the saved centroids, so it never needs separate persistence."""
+    return ivf.centroids.select(
+        "cell", _unit_norm(F.col("centroid")).alias("chat")
+    )
 
 
 def _unit_norm(col: Column) -> Column:
@@ -1848,6 +1870,7 @@ def pq_build_index(
     ncells: int | None = None,
     m: int = _PQ_M,
     k: int = _PQ_K,
+    residual: bool = False,
 ) -> IvfPqIndex | None:
     """Fit the IVF-PQ index: the IVF coarse grid (tier-scaled, see
     `ivf_build_index` — fit events, training floors, and bounded probes
@@ -1856,6 +1879,21 @@ def pq_build_index(
     (vec_id, label, cell, codes) — the 100 TB materialization is this
     coded frame partitioned by cell (m bytes/vector), while the raw
     embeddings stay in the source table for shortlist re-ranking only.
+
+    ``residual`` selects WHAT the codes quantize, and the right answer
+    is measurably corpus-dependent (`pq_adc_error` is the meter):
+
+    - ``False`` (default): quantize v̂ directly. On the near-isotropic
+      fixtures this is the better form (ADC MAE 0.065 vs 0.075) —
+      residuals against signal-free centroids have HIGHER variance
+      than the unit vectors themselves.
+    - ``True`` (IVFADC, Jégou et al. §IV): quantize v̂ − ĉ(cell) and
+      add the exact per-(query, cell) base dot(q̂, ĉ) at serve time.
+      On a CLUSTERED corpus — IVF's design regime, i.e. real embedding
+      corpora — this is ~10× more accurate (measured MAE 0.0201 →
+      0.0019, p95 0.049 → 0.005 on the 8k clustered test corpus;
+      CI-pinned). Deployments should run `pq_adc_error` on their own
+      corpus and enable this when centroids carry signal.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -1874,6 +1912,14 @@ def pq_build_index(
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     dsub = dim // m
     nv = ivf.assigned.withColumn("nv", _unit_norm(F.col("embedding")))
+    chat = None
+    if residual:
+        # IVFADC: quantize the residual v̂ − ĉ(cell). The centroid frame
+        # is ncells rows — broadcast; the subtraction is one zip_with.
+        chat = _chat_frame(ivf)
+        nv = nv.join(broadcast(chat), "cell").withColumn(
+            "nv", F.zip_with("nv", "chat", lambda a, b: a - b)
+        )
     # Bounded training sample, same discipline as the coarse quantizer:
     # k centroids per subspace want >= _IVF_TRAIN_PER_CELL * k points.
     train = nv
@@ -1910,7 +1956,9 @@ def pq_build_index(
         .withColumn("codes", F.expr(_pq_encode_expr(m, k, dsub)))
         .select("vec_id", "label", "cell", "codes")
     )
-    return IvfPqIndex(ivf, m, k, dim, codebooks, coded)
+    return IvfPqIndex(
+        ivf, m, k, dim, codebooks, coded, residual=residual, chat=chat
+    )
 
 
 def pq_query(
@@ -1935,12 +1983,23 @@ def pq_query(
     qc = ivf_probe_cells(
         index.ivf, nprobe=nprobe, n_queries=n_queries, queries=queries
     ).withColumn("qv", _unit_norm(F.col("qv")))
+    if index.residual:
+        # IVFADC base term: dot(q̂, ĉ) is EXACT per (query, probed
+        # cell) — nprobe rows per query, computed on the broadcast
+        # side before the scan join; the ADC fold then scores only
+        # the quantized residual.
+        qc = qc.join(broadcast(index.chat), "cell").withColumn(
+            "base", _dot(F.col("qv"), F.col("chat"))
+        ).drop("chat")
+    else:
+        qc = qc.withColumn("base", F.lit(0.0))
     scored = (
         index.coded.join(broadcast(qc), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .withColumn("cb", _pq_codebook_col(index.codebooks))
         .withColumn(
-            "adc", F.expr(_pq_adc_expr(index.m, dsub))
+            "adc",
+            F.col("base") + F.expr(_pq_adc_expr(index.m, dsub)),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -1998,8 +2057,15 @@ def pq_save_index(index: IvfPqIndex, path: str) -> None:
     ivf_save_index(index.ivf, os.path.join(path, "ivf"))
     (
         spark.createDataFrame(
-            [(int(index.m), int(index.k), int(index.dim))],
-            "m int, k int, dim int",
+            [
+                (
+                    int(index.m),
+                    int(index.k),
+                    int(index.dim),
+                    bool(index.residual),
+                )
+            ],
+            "m int, k int, dim int, residual boolean",
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -2036,12 +2102,78 @@ def pq_load_index(spark: SparkSession, path: str) -> IvfPqIndex:
     ivf = ivf_load_index(spark, os.path.join(path, "ivf"))
     meta = spark.read.json(os.path.join(path, "pq_meta")).first()
     m, k, dim = int(meta["m"]), int(meta["k"]), int(meta["dim"])
+    residual = bool(meta["residual"])
     rows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
     codebooks = [[None] * k for _ in range(m)]
     for r in rows:
         codebooks[r.i][r.j] = [float(x) for x in r.codeword]
     coded = spark.read.parquet(os.path.join(path, "coded"))
-    return IvfPqIndex(ivf, m, k, dim, codebooks, coded)
+    # chat is a pure function of the saved centroids — re-derived, never
+    # separately persisted (one source of truth for the cell geometry).
+    chat = _chat_frame(ivf) if residual else None
+    return IvfPqIndex(
+        ivf, m, k, dim, codebooks, coded, residual=residual, chat=chat
+    )
+
+
+def pq_adc_error(
+    index: IvfPqIndex,
+    corpus: DataFrame,
+    *,
+    nprobe: int | None = None,
+    n_queries: int = 10,
+) -> dict:
+    """Quantization-accuracy meter: mean / p95 of |ADC − exact cosine|
+    over every (query, scanned vector) pair. THE number that decides
+    the ``residual`` knob per corpus (see `pq_build_index`): run it on
+    a bounded sample of your own embeddings with both forms and ship
+    the smaller-error one. Same probe path as `pq_query`, so the error
+    is measured on exactly the pairs serving would score."""
+    dsub = index.dim // index.m
+    if nprobe is None:
+        nprobe = index.ivf.nprobe_default
+    qc = ivf_probe_cells(
+        index.ivf, nprobe=nprobe, n_queries=n_queries
+    ).withColumn("qv", _unit_norm(F.col("qv")))
+    if index.residual:
+        qc = qc.join(broadcast(index.chat), "cell").withColumn(
+            "base", _dot(F.col("qv"), F.col("chat"))
+        ).drop("chat")
+    else:
+        qc = qc.withColumn("base", F.lit(0.0))
+    scored = (
+        index.coded.join(broadcast(qc), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cb", _pq_codebook_col(index.codebooks))
+        .withColumn(
+            "adc",
+            F.col("base") + F.expr(_pq_adc_expr(index.m, dsub)),
+        )
+    )
+    ex = corpus.select(
+        F.col("vec_id").alias("v2"),
+        _unit_norm(F.col("embedding")).alias("ev"),
+    )
+    err = F.abs(F.col("adc") - _dot(F.col("qv"), F.col("ev")))
+    r = (
+        scored.join(ex, scored["vec_id"] == ex["v2"])
+        .agg(
+            F.avg(err).alias("mae"),
+            F.expr(
+                "percentile(abs(adc - aggregate(zip_with(qv, ev, "
+                "(x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+                "), 0.95)"
+            ).alias("p95"),
+            F.count(F.lit(1)).alias("pairs"),
+        )
+        .first()
+    )
+    return {
+        "residual": index.residual,
+        "mae": round(float(r.mae), 4),
+        "p95": round(float(r.p95), 4),
+        "pairs": int(r.pairs),
+    }
 
 
 def pq_stats(index: IvfPqIndex) -> dict:
@@ -2068,6 +2200,7 @@ def llm_ann_ivfpq(
     refine: int = 8,
     index: IvfPqIndex | None = None,
     queries: DataFrame | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ ANN (Jégou et al. TPAMI 2011; the FAISS IVFPQ layout):
     the `llm_ann_ivf` coarse grid plus product-quantized fine scoring —
@@ -2083,10 +2216,12 @@ def llm_ann_ivfpq(
     `llm_ann_ivf` (q_id, nb_id, sim, nprobe) with sim = exact cosine of
     the re-ranked shortlist, so recall is directly comparable against
     the same `tools/ann_recall.py` truth; CI pins re-rank ≥ ADC-only
-    recall and monotonicity in ``refine``. Approximate by construction
-    → rows-only key."""
+    recall and monotonicity in ``refine``. ``residual=True`` switches
+    the codes to IVFADC residual quantization — ~10× lower ADC error
+    on clustered corpora, see `pq_build_index`/`pq_adc_error`.
+    Approximate by construction → rows-only key."""
     if index is None:
-        index = pq_build_index(spark, sf_dir)
+        index = pq_build_index(spark, sf_dir, residual=residual)
     if index is None:
         return spark.createDataFrame(
             [], "q_id bigint, nb_id bigint, sim double, nprobe int"
