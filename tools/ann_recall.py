@@ -28,6 +28,9 @@ Usage:
     python tools/ann_recall.py                   # sf0.01, nprobe 2,4,8,12
     python tools/ann_recall.py --sf <dir> --nprobe 2,8
     python tools/ann_recall.py --tiers 16,64,256 --nprobe 8
+    python tools/ann_recall.py --pq --refine 1,4,8   # IVF-PQ: recall +
+                                                     # ADC error, both
+                                                     # residual forms
 
 Prints one JSON line per nprobe (or per tier) and a summary line.
 """
@@ -134,6 +137,59 @@ def main(argv: list[str]) -> int:
                     "recall": {
                         str(r["ncells"]): r["recall_at_5"] for r in rows
                     },
+                }
+            )
+        )
+        return 0
+    if "--pq" in argv:
+        # IVF-PQ readout: per refine value — re-ranked recall@5, the
+        # ADC error meter (both residual forms), and the compression
+        # arithmetic. The recipe a deployment runs (on a bounded sample
+        # of its own corpus) to pick refine and the residual knob.
+        from luxor_db_spark.operators.llm import (
+            pq_adc_error,
+            pq_build_index,
+            pq_query,
+            pq_stats,
+        )
+
+        corpus = load_table(spark, sf_dir, "embeddings")
+        refines = [1, 2, 4, 8]
+        if "--refine" in argv:
+            refines = [
+                int(x) for x in argv[argv.index("--refine") + 1].split(",")
+            ]
+        out = {}
+        for residual in (False, True):
+            idx = pq_build_index(spark, sf_dir, residual=residual)
+            err = pq_adc_error(idx, corpus)
+            recalls = {}
+            for rf in refines:
+                got = {
+                    (r.q_id, r.nb_id)
+                    for r in pq_query(idx, corpus, refine=rf)
+                    .select("q_id", "nb_id")
+                    .collect()
+                }
+                recalls[rf] = round(len(truth & got) / len(truth), 4)
+            row = {
+                "residual": residual,
+                "adc_mae": err["mae"],
+                "adc_p95": err["p95"],
+                "recall_at_5_by_refine": recalls,
+                **pq_stats(idx),
+            }
+            out["residual" if residual else "plain"] = row
+            print(json.dumps(row), flush=True)
+        print(
+            json.dumps(
+                {
+                    "summary": "ann_recall_pq",
+                    "sf_dir": sf_dir,
+                    "n_truth": len(truth),
+                    "pick": min(
+                        out, key=lambda f: out[f]["adc_mae"]
+                    ),
                 }
             )
         )
