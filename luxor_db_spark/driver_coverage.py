@@ -195,6 +195,7 @@ _LATE_FRESH: frozenset[str] = frozenset(
     stream_dedup_survivors
     llm_ann_ivfpq
     stream_embed_dedup
+    llm_chunk_dedup
     """.split()
 )
 
@@ -249,6 +250,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "stream_dedup_survivors": 10,
     "llm_ann_ivfpq": 10,
     "stream_embed_dedup": 10,
+    "llm_chunk_dedup": 10,
 }
 
 

@@ -3155,6 +3155,97 @@ def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Chunk-dedup grain: NON-overlapping 16-token spans. Distinct from
+# llm_chunk_overlap's 64/48 RAG windows — dedup of overlapping chunks
+# would double-count every shared overlap region.
+_CDD_W = 16
+
+
+@query(
+    "llm_chunk_dedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tok,
+             len(string_split(coalesce(text, ''), ' ')) AS n
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, CAST((start - 1) / {_CDD_W} AS INT) AS chunk_id,
+             md5(array_to_string(
+                   list_slice(tok, start, start + {_CDD_W} - 1), ' '))
+               AS cmd5
+      FROM d, unnest(generate_series(1, greatest(n, 1), {_CDD_W}))
+               AS t(start)
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_id,
+             ROW_NUMBER() OVER (PARTITION BY cmd5
+                                ORDER BY doc_id, chunk_id) AS rn
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+             AS kept_ratio
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-grain (sub-document) deduplication report: split every
+    document into non-overlapping 16-token chunks, fingerprint each, and
+    keep only the FIRST occurrence of every fingerprint corpus-wide
+    (lowest (doc_id, chunk_id) — the Gopher/RefinedWeb-style span dedup
+    that removes repeated boilerplate/quotations WITHOUT dropping whole
+    documents). Emits one row per document: chunk count, surviving
+    chunks, survival ratio — the per-doc signal a curation pipeline
+    thresholds on (a doc whose chunks are mostly elsewhere-seen is
+    itself a near-dup or a quote farm).
+
+    Scale shape: chunking is a shuffle-free per-row transform (sequence
+    → explode → slice, same as `llm_chunk_overlap`); the keep-first
+    decision shuffles only (cmd5, doc_id, chunk_id) triples — the text
+    never moves — and the per-doc report is a map-side-combinable
+    groupBy. Fingerprint collisions aside, identical to comparing the
+    chunk text itself (md5 over the joined tokens, oracle-portable).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("tok"),
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+            "n"
+        ),
+    )
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.col("n"), F.lit(1)), F.lit(_CDD_W)
+            )
+        ).alias("start"),
+        "tok",
+    ).select(
+        "doc_id",
+        ((F.col("start") - 1) / _CDD_W).cast("int").alias("chunk_id"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("tok"), F.col("start"), F.lit(_CDD_W))
+            )
+        ).alias("cmd5"),
+    )
+    w = Window.partitionBy("cmd5").orderBy("doc_id", "chunk_id")
+    ranked = ch.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum(kept).cast("int").alias("n_kept"),
+            (F.sum(kept) * 1.0 / F.count(F.lit(1))).alias("kept_ratio"),
+        )
+    )
+
+
 # Winnowing window (Schleimer/Wilkerson/Aiken, SIGMOD'03): from every run
 # of _WINNOW_W consecutive shingle hashes, keep the minimum. Guarantees a
 # shared fingerprint for any match of length >= w + shingle span while

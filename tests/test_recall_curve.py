@@ -711,3 +711,29 @@ def test_ivfpq_plain_default_right_for_isotropic_fixture(spark, sf_dir):
     res = pq_adc_error(pq_build_index(spark, sf_dir, residual=True), corpus)
     assert plain["mae"] <= res["mae"] * 1.1, (plain, res)
     assert plain["mae"] < 0.15  # sanity: ADC is a usable estimator at all
+
+
+def test_chunk_dedup_keep_first_semantics(spark, tmp_path):
+    """Behavioral pin on a crafted corpus: doc 0 owns two distinct
+    16-token chunks; doc 1 repeats doc 0's first chunk and adds one
+    unique chunk; doc 2 is doc 0 verbatim. Keep-first must credit doc 0
+    fully (ratio 1.0), doc 1 half (its copied chunk lost to doc 0),
+    doc 2 nothing (every chunk elsewhere-seen — the whole-doc-dup
+    signal surfacing at chunk grain)."""
+    from luxor_db_spark.operators.llm import llm_chunk_dedup
+
+    a = " ".join(f"w{i}" for i in range(16))
+    b = " ".join(f"x{i}" for i in range(16))
+    c = " ".join(f"y{i}" for i in range(16))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, f"{a} {b}"), (1, f"{a} {c}"), (2, f"{a} {b}")],
+        "doc_id bigint, text string",
+    ).write.parquet(d + "/documents.parquet")
+    rows = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.kept_ratio)
+        for r in llm_chunk_dedup(spark, d).collect()
+    }
+    assert rows[0] == (2, 2, 1.0)
+    assert rows[1] == (2, 1, 0.5)
+    assert rows[2] == (2, 0, 0.0)
