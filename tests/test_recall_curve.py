@@ -600,6 +600,27 @@ def test_ivfpq_engine_lifecycle_and_guards(sf_dir):
         llm_mod.pq_build_index(eng.spark, sf_dir, k=200)
     assert idx.dim % idx.m == 0
 
+    # external (q_id, qv) batches serve through the same cached index:
+    # a corpus-vector clone must come back as its own 1.0-sim top hit
+    # after the exact re-rank, with zero additional fits
+    from pyspark.sql import functions as F
+
+    from luxor_db_spark.catalog import load_table
+
+    corpus = load_table(eng.spark, sf_dir, "embeddings")
+    batch = corpus.filter(F.col("vec_id") < 2).select(
+        (-F.col("vec_id") - 1).alias("q_id"),
+        F.col("embedding").alias("qv"),
+    )
+    n1 = len(llm_mod._IVF_FIT_EVENTS)
+    ext = eng.run("llm_ann_ivfpq", queries=batch).collect()
+    assert len(llm_mod._IVF_FIT_EVENTS) == n1
+    assert {r.q_id for r in ext} == {-1, -2}
+    assert {(r.q_id, r.nb_id) for r in ext if r.sim == 1.0} == {
+        (-1, 0),
+        (-2, 1),
+    }
+
 
 def test_ivfpq_save_load_round_trip(sf_dir, tmp_path):
     """Durable IVF-PQ: save persists the coarse half (via the IVF
