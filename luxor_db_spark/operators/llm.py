@@ -126,14 +126,19 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: keep the lowest doc_id per normalized-text fingerprint.
 
     Only (md5, doc_id) pairs shuffle — at 100 TB the text never moves.
+    Keep-first is ``groupBy(fp).agg(min(doc_id))`` — map-side combinable,
+    so a degenerate dup group (10⁶–10⁸ empty/boilerplate copies at web
+    scale) reduces to one partial row per input partition instead of
+    buffering the whole posting in a single window task (r10 verdict #2;
+    the window form's hot-group buffer is measured in
+    ``tools/skew_stress.py``). Same keep-lowest output by construction.
     """
     d = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.expr(_NORM))
-    w = Window.partitionBy(fp).orderBy("doc_id")
     return (
-        d.select("doc_id", fp.alias("fp"), F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        d.groupBy(fp.alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fp")
     )
 
 
@@ -2626,18 +2631,26 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest / most-lexically-diverse copy (doc_id as the deterministic
     tiebreak) instead of `llm_dedup_exact`'s lowest-id rule — what real
     corpus pipelines do when duplicates differ in truncation or boilerplate.
-    Same shuffle shape as exact dedup: fingerprints + rank keys only."""
+    Same shuffle shape as exact dedup: fingerprints + rank keys only.
+
+    Best-of-group is ``max(struct(n_chars, n_distinct, -doc_id))`` —
+    struct comparison is lexicographic, so the max struct IS the
+    (n_chars DESC, n_distinct DESC, doc_id ASC) winner, and min/max
+    aggregates combine map-side: a hot duplicate group never collects in
+    one window task (r10 verdict #2)."""
     d = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.expr(_NORM))
-    w = Window.partitionBy(fp).orderBy(
-        F.col("n_chars").desc(),
-        F.size(F.array_distinct(F.expr(_TOKENS))).desc(),
-        F.col("doc_id"),
+    best = F.max(
+        F.struct(
+            F.col("n_chars"),
+            F.size(F.array_distinct(F.expr(_TOKENS))).alias("nd"),
+            (-F.col("doc_id")).alias("negid"),
+        )
     )
     return (
-        d.select("doc_id", fp.alias("fp"), F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        d.groupBy(fp.alias("fp"))
+        .agg((-best["negid"]).cast("long").alias("doc_id"))
+        .select("doc_id", "fp")
     )
 
 
@@ -2969,14 +2982,25 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stop_ratio") >= 0.01)
         & (F.col("distinct_ratio") >= 0.30)
     )
-    w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    deduped = filtered.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    # Keep-longest survivor via max(struct(...)): the ordering key
+    # (n_chars DESC, doc_id ASC) becomes the struct's leading fields
+    # (n_chars, -doc_id) and the survivor's payload (lang, n_tok) rides
+    # along — map-side-combinable, so a degenerate dup group never
+    # buffers in one window task (r10 verdict #2).
+    deduped = filtered.groupBy("fp").agg(
+        F.max(
+            F.struct(
+                F.col("n_chars"),
+                (-F.col("doc_id")).alias("negid"),
+                F.col("lang"),
+                F.col("n_tok"),
+            )
+        ).alias("best")
     )
-    return deduped.groupBy("lang").agg(
+    return deduped.groupBy(F.col("best.lang").alias("lang")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
-        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("best.n_chars").cast("bigint").alias("total_chars"),
+        F.sum("best.n_tok").cast("bigint").alias("total_tokens"),
     )
 
 
@@ -3233,15 +3257,32 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cmd5"),
     )
-    w = Window.partitionBy("cmd5").orderBy("doc_id", "chunk_id")
-    ranked = ch.withColumn("rn", F.row_number().over(w))
-    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
+    # Keep-first via min(struct(doc_id, chunk_id)) per fingerprint —
+    # map-side combinable, so a corpus-wide hot chunk (the empty chunk,
+    # boilerplate headers: 10⁶–10⁸ members at web scale) reduces to one
+    # partial row per input partition instead of buffering the whole
+    # posting in a single window task (r10 verdict #2). The keeper frame
+    # is one row per cmd5; counting keepers per doc then joining the two
+    # doc-grain reports avoids ever joining back on the hot cmd5 key.
+    keep = ch.groupBy("cmd5").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("k")
+    )
+    n_kept = (
+        keep.groupBy(F.col("k.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_kept"))
+    )
+    n_chunks = ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks")
+    )
     return (
-        ranked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_chunks"),
-            F.sum(kept).cast("int").alias("n_kept"),
-            (F.sum(kept) * 1.0 / F.count(F.lit(1))).alias("kept_ratio"),
+        n_chunks.join(n_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            (
+                F.coalesce("n_kept", F.lit(0)) * 1.0 / F.col("n_chunks")
+            ).alias("kept_ratio"),
         )
     )
 

@@ -356,6 +356,9 @@ def test_broadcast_hints_only_on_constant_grain_sides():
             "bench",  # fixed 3-term query set
             "centroids",  # k ANN centroids
             "index.centroids",  # same grain via IvfIndex (ncells rows)
+            # IVFADC residual centroid frame: ncells rows (<=4096 by
+            # tier), same grain as index.centroids — reviewed r11
+            "chat", "index.chat",
             "g",  # 1-row corpus stats
             "nt", "tp",  # tiny aggregates (report grain)
             "prof",  # language profiles (|langs| x top-words)

@@ -249,6 +249,124 @@ def run_dedup_near_case(spark: SparkSession, n_docs: int) -> int:
     return 0
 
 
+def build_hotdup_docs(spark: SparkSession, n_docs: int, hot_frac: float) -> str:
+    """Write a documents.parquet where ``hot_frac`` of all docs are exact
+    copies of ONE boilerplate text (a single fingerprint group with
+    n_docs*hot_frac members — the empty-page/license-stub shape of a web
+    corpus) and the rest are unique. Deterministic, reused across runs."""
+    hdir = os.path.join(FIX_DIR, f"hotdup_docs_{n_docs}_h{int(hot_frac*100)}")
+    path = os.path.join(hdir, "documents.parquet")
+    if not os.path.exists(path):
+        mod = max(2, int(round(1.0 / hot_frac)))
+        text = F.when(
+            F.col("id") % mod == 0,
+            F.lit("standard boilerplate page content identical everywhere"),
+        ).otherwise(
+            F.concat(F.lit("unique document body "), F.col("id").cast("string"))
+        )
+        spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            F.length(text).cast("int").alias("n_chars"),
+        ).write.mode("overwrite").parquet(path)
+    return hdir
+
+
+def run_keep_first_case(spark: SparkSession, n_docs: int, hot_frac: float) -> int:
+    """Measure keep-first dedup's two forms on the hot-fingerprint corpus
+    (r10 verdict #2): the retired ``window`` form
+    (row_number() OVER (PARTITION BY fp ORDER BY doc_id) — buffers the hot
+    group's FULL posting in one task before rn=1 filters it) versus the
+    shipped ``agg`` form (groupBy(fp).agg(min(doc_id)) — map-side
+    combinable, at most one partial row per input partition per group).
+    Survivor sets must be identical (asserted); they differ only in where
+    the hot group's row mass sits."""
+    from pyspark.sql import Window
+
+    from luxor_db_spark.catalog import load_table
+    from luxor_db_spark.operators.llm import _NORM, llm_dedup_exact
+
+    hdir = build_hotdup_docs(spark, n_docs, hot_frac)
+
+    def window_form() -> DataFrame:
+        d = load_table(spark, hdir, "documents")
+        fp = F.md5(F.expr(_NORM))
+        w = Window.partitionBy(fp).orderBy("doc_id")
+        return (
+            d.select(
+                "doc_id", fp.alias("fp"), F.row_number().over(w).alias("rn")
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    forms = {
+        "window_keep_first": window_form,
+        "agg_keep_first": lambda: llm_dedup_exact(spark, hdir),
+    }
+    results, counts = {}, {}
+    for name, fn in forms.items():
+        counts[name] = fn().count()
+        samples = [_time(fn()) for _ in range(RUNS)]
+        results[name] = round(statistics.median(samples), 3)
+        print(
+            json.dumps(
+                {
+                    "strategy": name,
+                    "median_s": results[name],
+                    "samples": [round(s, 3) for s in samples],
+                    "survivors": counts[name],
+                }
+            ),
+            flush=True,
+        )
+    assert len(set(counts.values())) == 1, f"survivor counts diverge: {counts}"
+    # Survivor SETS equal, not just counts (subtract is exact on (doc_id, fp)).
+    diff = (
+        forms["window_keep_first"]()
+        .exceptAll(forms["agg_keep_first"]())
+        .count()
+    )
+    assert diff == 0, f"survivor sets diverge by {diff} rows"
+
+    # Structural measurement, same discipline as dedup_near_cap: the
+    # window form's exchange materializes the hot fingerprint's entire
+    # group in ONE task's sort buffer; the agg form's shuffle carries at
+    # most one (fp, partial-min) row per input partition per group.
+    d = load_table(spark, hdir, "documents")
+    fp_rows = d.select(F.md5(F.expr(_NORM)).alias("fp"))
+    hottest = (
+        fp_rows.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    agg_partials = (
+        fp_rows.withColumn("mp", F.spark_partition_id())
+        .groupBy("fp")
+        .agg(F.countDistinct("mp").alias("nparts"))
+        .agg(F.max("nparts"))
+        .collect()[0][0]
+    )
+    print(
+        json.dumps(
+            {
+                "summary": "keep_first",
+                "n_docs": n_docs,
+                "hot_frac": hot_frac,
+                "runs": RUNS,
+                "medians_s": results,
+                "window_vs_agg": round(
+                    results["window_keep_first"] / results["agg_keep_first"], 2
+                ),
+                "window_single_task_buffered_rows": hottest,
+                "agg_shuffled_partials_for_same_fp": agg_partials,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str]) -> int:
     n_rows, hot, salts = N_ROWS, HOT_FRAC, N_SALTS
 
@@ -271,6 +389,8 @@ def main(argv: list[str]) -> int:
     spark = get_spark(app_name="luxor-db-spark-skew-stress")
     if case == "dedup_near_cap":
         return run_dedup_near_case(spark, n_docs)
+    if case == "keep_first":
+        return run_keep_first_case(spark, n_docs, hot)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     probe_path, dim_path = build_fixture(spark, n_rows, hot, n_keys=N_KEYS)
     probe = spark.read.parquet(probe_path)
