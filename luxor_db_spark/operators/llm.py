@@ -1743,6 +1743,43 @@ def llm_ann_ivf(
     return ivf_query(index, nprobe=nprobe, queries=queries)
 
 
+@query(
+    "llm_ann_parity",
+    oracle=f"""
+    SELECT q_id, nb_id, sim FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+             ROUND({_COS_DUCK.format(a='q.embedding', b='c.embedding')}, 4) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND({_COS_DUCK.format(a='q.embedding', b='c.embedding')}, 4)
+                        DESC, c.vec_id) AS rn
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10)
+    WHERE rn <= 5
+    """,
+)
+def llm_ann_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-parity mode of the IVF serving stack (r10 verdict ask #3):
+    run the REAL index build + probe + scan path at ``nprobe = ncells``,
+    where every (query, vector) pair is scored and the top-k is provably
+    the exact brute-force kNN — hence SQL-oracle-expressible, converting
+    the ANN serving machinery from recall-pinned-only (``llm_ann_ivf``,
+    rows-only by contract) to driver-hash-checked. The probe ranking,
+    cell join, cosine scoring, and group-limit are the exact code paths
+    `llm_ann_ivf` serves with; only the probe width differs, so a hash
+    pass here certifies the whole pipeline's plumbing (assignment
+    completeness, self-exclusion, tie ordering, rounding) and leaves
+    only the recall/ncells trade to the pytest recall floors."""
+    index = ivf_build_index(spark, sf_dir)
+    if index is None:
+        return spark.createDataFrame(
+            [], "q_id bigint, nb_id bigint, sim double"
+        )
+    return ivf_query(index, nprobe=index.ncells, k=5).select(
+        "q_id", "nb_id", "sim"
+    )
+
+
 # --- IVF-PQ: product-quantized fine scoring over the IVF grid ---------------
 #
 # The IVF index prunes WHICH vectors are scored (nprobe/ncells of the
@@ -2235,6 +2272,45 @@ def llm_ann_ivfpq(
     return pq_query(
         index, corpus, nprobe=nprobe, refine=refine, queries=queries
     )
+
+
+@query(
+    "llm_ann_pq_parity",
+    oracle=f"""
+    SELECT q_id, nb_id, sim FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+             ROUND({_COS_DUCK.format(a='q.embedding', b='c.embedding')}, 4) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND({_COS_DUCK.format(a='q.embedding', b='c.embedding')}, 4)
+                        DESC, c.vec_id) AS rn
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10)
+    WHERE rn <= 5
+    """,
+)
+def llm_ann_pq_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-parity mode of the IVF-PQ serving stack (companion to
+    `llm_ann_parity`): full probe (``nprobe = ncells``) AND a shortlist
+    wide enough to cover the whole scanned corpus (``k·refine ≥ N``), so
+    the ADC ordering becomes irrelevant and the exact-cosine re-rank IS
+    brute-force kNN — codebook fit, ADC fold, shortlist window, original
+    fetch join, and re-rank all run the production code path, and the
+    driver hash-checks the end result against the same exact-kNN oracle.
+    The cosine here is computed on unit-normalized vectors (the PQ
+    pipeline's invariant); cosine is scale-invariant so the rounded sim
+    matches the oracle's raw-vector cosine."""
+    index = pq_build_index(spark, sf_dir)
+    if index is None:
+        return spark.createDataFrame(
+            [], "q_id bigint, nb_id bigint, sim double"
+        )
+    corpus = load_table(spark, sf_dir, "embeddings")
+    n = corpus.count()
+    refine = -(-n // 5)  # ceil(N / k): shortlist covers the corpus
+    return pq_query(
+        index, corpus, nprobe=index.ivf.ncells, k=5, refine=refine
+    ).select("q_id", "nb_id", "sim")
 
 
 # --- corpus management: sharding / mixing / sampling ------------------------
