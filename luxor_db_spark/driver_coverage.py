@@ -196,6 +196,7 @@ _LATE_FRESH: frozenset[str] = frozenset(
     llm_ann_ivfpq
     stream_embed_dedup
     llm_chunk_dedup
+    llm_ann_parity llm_ann_pq_parity
     """.split()
 )
 
@@ -251,6 +252,8 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "llm_ann_ivfpq": 10,
     "stream_embed_dedup": 10,
     "llm_chunk_dedup": 10,
+    "llm_ann_parity": 11,
+    "llm_ann_pq_parity": 11,
 }
 
 

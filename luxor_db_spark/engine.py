@@ -33,7 +33,7 @@ _INDEX_KEYS = frozenset({"llm_ann_ivf", "llm_ann_ivfpq"})
 # (append stays IVF-only: an appended PQ batch would be invisible to the
 # exact re-rank, which fetches originals from the corpus table.)
 _PERSISTABLE_INDEX_KEYS = frozenset({"llm_ann_ivf", "llm_ann_ivfpq"})
-_APPENDABLE_INDEX_KEYS = frozenset({"llm_ann_ivf"})
+_APPENDABLE_INDEX_KEYS = frozenset({"llm_ann_ivf", "llm_ann_ivfpq"})
 
 
 class LuxorEngine:
@@ -181,13 +181,15 @@ class LuxorEngine:
         index's FROZEN quantizer — no KMeans refit, no pass over the
         already-indexed corpus. Disk-backed indexes (after save_index /
         load_index) also get the batch appended to their
-        cell-partitioned assignment parquet. See `IvfIndex.append`."""
+        cell-partitioned assignment parquet. See `IvfIndex.append`.
+        For IVF-PQ (r10 verdict ask #5) the batch is ALSO encoded
+        through the frozen PQ codebooks and the originals grow with it,
+        so the exact-cosine re-rank sees appended vectors — see
+        `IvfPqIndex.append`."""
         if key not in _APPENDABLE_INDEX_KEYS:
             raise KeyError(
                 f"no index append for operator key {key!r} "
-                f"(appendable: {sorted(_APPENDABLE_INDEX_KEYS)}; an "
-                f"IVF-PQ index additionally needs the new originals "
-                f"visible to the re-rank fetch — rebuild instead)"
+                f"(appendable: {sorted(_APPENDABLE_INDEX_KEYS)})"
             )
         if key not in self._indexes:
             raise KeyError(

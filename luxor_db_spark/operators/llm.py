@@ -1305,6 +1305,10 @@ assert _IVF_TRAIN_CAP > _IVF_TIERS[0][0]
 # query batches (no second fit job) — see LuxorEngine.build_index.
 _IVF_FIT_EVENTS: list[dict] = []
 
+# One entry per PQ codebook-fit pass (pq_build_index); append/serve must
+# never add entries here — pinned by the grown-vs-rebuilt engine test.
+_PQ_FIT_EVENTS: list[dict] = []
+
 
 def _ivf_tier(n_lower_bound: int) -> tuple[int, int]:
     """Map a (possibly clamped) corpus-size lower bound to
@@ -1348,6 +1352,36 @@ class IvfIndex:
         # assignment instead of only the in-memory plan.
         self.path = path
 
+    def assign(self, batch: DataFrame) -> DataFrame:
+        """Route a (vec_id, label, embedding) batch through the FROZEN
+        quantizer; returns (vec_id, label, embedding, cell) CAST to the
+        indexed schema. The cast matters: a batch whose embedding is
+        array<double> (or whose label/vec_id differ in type) would
+        otherwise append mixed-schema part files into the
+        cell-partitioned parquet, which a later read.parquet resolves
+        arbitrarily or fails on — far from the append call (r10 ADVICE
+        #2); the fvec cast below covers only model.transform. Shared by
+        `IvfIndex.append` and `IvfPqIndex.append` (the PQ encode pass
+        needs the batch's cell assignments)."""
+        from pyspark.ml.functions import array_to_vector
+
+        missing = {"vec_id", "label", "embedding"} - set(batch.columns)
+        if missing:
+            raise ValueError(f"append batch missing columns {sorted(missing)}")
+        tgt = {f.name: f.dataType for f in self.assigned.schema.fields}
+        batch = batch.select(
+            *[
+                F.col(c).cast(tgt[c]).alias(c)
+                for c in ("vec_id", "label", "embedding")
+            ]
+        )
+        return self.model.transform(
+            batch.withColumn(
+                "fvec",
+                array_to_vector(F.col("embedding").cast("array<double>")),
+            )
+        ).select("vec_id", "label", "embedding", "cell")
+
     def append(self, batch: DataFrame) -> "IvfIndex":
         """Assign-only incremental update (r9 verdict ask #3): route a new
         vector batch through the FITTED quantizer — no refit, no pass
@@ -1369,17 +1403,7 @@ class IvfIndex:
         with `ivf_build_index` (the engine test pins that a grown index
         answers exactly like an assign-only rebuild over the same
         centroids, with zero fit events)."""
-        from pyspark.ml.functions import array_to_vector
-
-        missing = {"vec_id", "label", "embedding"} - set(batch.columns)
-        if missing:
-            raise ValueError(f"append batch missing columns {sorted(missing)}")
-        assigned_new = self.model.transform(
-            batch.withColumn(
-                "fvec",
-                array_to_vector(F.col("embedding").cast("array<double>")),
-            )
-        ).select("vec_id", "label", "embedding", "cell")
+        assigned_new = self.assign(batch)
         if self.path is not None:
             import os
 
@@ -1569,7 +1593,25 @@ def ivf_load_index(spark: SparkSession, path: str) -> IvfIndex:
 
     from pyspark.ml.clustering import KMeansModel
 
-    meta = spark.read.json(os.path.join(path, "meta")).first()
+    try:
+        meta = spark.read.json(os.path.join(path, "meta")).first()
+    except Exception as exc:
+        # Pre-r10 saves wrote a driver-LOCAL meta.json file instead of
+        # the {path}/meta JSON dataset; fall back to it so old indexes
+        # keep loading, and otherwise fail with a named error instead
+        # of an opaque AnalysisException (r10 ADVICE #3).
+        legacy = os.path.join(path, "meta.json")
+        if os.path.exists(legacy):
+            import json as _json
+
+            with open(legacy) as fh:
+                meta = _json.load(fh)
+        else:
+            raise ValueError(
+                f"no IVF index meta at {path!r} (neither the {{path}}/meta "
+                "JSON dataset nor a legacy meta.json): not an ivf_save_index "
+                "layout — rebuild and re-save the index"
+            ) from exc
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     assigned = spark.read.parquet(os.path.join(path, "assigned"))
     model = KMeansModel.load(os.path.join(path, "model"))
@@ -1830,6 +1872,7 @@ class IvfPqIndex:
         coded: DataFrame,
         residual: bool = False,
         chat: DataFrame | None = None,
+        path: str | None = None,
     ):
         self.ivf = ivf
         self.m = m
@@ -1839,6 +1882,86 @@ class IvfPqIndex:
         self.coded = coded  # lazy: (vec_id, label, cell, codes)
         self.residual = residual
         self.chat = chat  # (cell, chat) — ncells rows, driver-small
+        # Set by pq_save_index / pq_load_index: the on-disk layout this
+        # index is backed by, so append() extends the durable coded
+        # corpus (and, via ivf.append, the durable originals).
+        self.path = path
+
+    def append(self, batch: DataFrame) -> "IvfPqIndex":
+        """Encode-only incremental update (r10 verdict ask #5): route a
+        new (vec_id, label, embedding) batch through the FROZEN coarse
+        quantizer AND the frozen PQ codebooks — zero KMeans fits, no
+        pass over the already-indexed corpus. Two things grow:
+
+        - the ORIGINALS, via `IvfIndex.append` (in-memory union, plus
+          the durable cell-partitioned assignment parquet when
+          disk-backed) — this is what makes the append visible to the
+          exact-cosine re-rank fetch, the stated reason the engine
+          previously refused PQ appends (`pq_query` reads its shortlist
+          originals from ``index.ivf.assigned``);
+        - the CODED corpus: the batch is unit-normalized (minus its
+          cell's ĉ in residual/IVFADC form), encoded against the frozen
+          codebook literal, and unioned into ``coded`` (appended to the
+          cell-partitioned {path}/coded parquet when disk-backed, then
+          re-pointed so the new part files are visible).
+
+        Codebooks are frozen by design, same doctrine as the coarse
+        centroids: they define the quantization geometry; on
+        distribution drift, rebuild with `pq_build_index`. The engine
+        test pins grown-PQ == rebuilt-PQ over identical codebooks with
+        zero fit events."""
+        assigned_new = self.ivf.assign(batch)
+        self.ivf.append(batch)
+        coded_new = _pq_encode_assigned(
+            assigned_new,
+            self.codebooks,
+            self.m,
+            self.k,
+            self.dim,
+            residual=self.residual,
+            chat=self.chat,
+        )
+        if self.path is not None:
+            import os
+
+            cpath = os.path.join(self.path, "coded")
+            (
+                coded_new.write.mode("append")
+                .partitionBy("cell")
+                .parquet(cpath)
+            )
+            self.coded = batch.sparkSession.read.parquet(cpath)
+        else:
+            self.coded = self.coded.unionByName(coded_new)
+        return self
+
+
+def _pq_encode_assigned(
+    assigned: DataFrame,
+    codebooks: list,
+    m: int,
+    k: int,
+    dim: int,
+    *,
+    residual: bool = False,
+    chat: DataFrame | None = None,
+) -> DataFrame:
+    """Encode (vec_id, label, embedding, cell) rows through FROZEN
+    codebooks → (vec_id, label, cell, codes). Pure expression work (the
+    codebook literal is the quantizer); shared by `IvfPqIndex.append`
+    and the grown-vs-rebuilt engine test, so 'rebuilt over identical
+    codebooks' is by construction the same encode the append ran."""
+    dsub = dim // m
+    nv = assigned.withColumn("nv", _unit_norm(F.col("embedding")))
+    if residual:
+        nv = nv.join(broadcast(chat), "cell").withColumn(
+            "nv", F.zip_with("nv", "chat", lambda a, b: a - b)
+        )
+    return (
+        nv.withColumn("cb", _pq_codebook_col(codebooks))
+        .withColumn("codes", F.expr(_pq_encode_expr(m, k, dsub)))
+        .select("vec_id", "label", "cell", "codes")
+    )
 
 
 def _chat_frame(ivf: IvfIndex) -> DataFrame:
@@ -1853,8 +1976,19 @@ def _chat_frame(ivf: IvfIndex) -> DataFrame:
 def _unit_norm(col: Column) -> Column:
     """L2-normalized copy of a float array (doubles). PQ trains and
     scores on the unit sphere so the ADC inner product approximates
-    cosine directly."""
-    return F.transform(col, lambda x: x.cast("double") / _l2norm(col))
+    cosine directly.
+
+    The norm is evaluated ONCE per row — as the repeated element of an
+    `array_repeat` zipped against the vector — not inside the per-element
+    lambda: inlining `_l2norm(col)` into `F.transform`'s lambda re-runs
+    the full O(dim) aggregate fold for every element, an O(dim²) per-row
+    blowup (~64× at dim 64) that `pq_build_index`'s corpus-wide encode
+    pass would pay in full (r10 ADVICE #5)."""
+    return F.zip_with(
+        col,
+        F.array_repeat(_l2norm(col), F.size(col)),
+        lambda x, n: x.cast("double") / n,
+    )
 
 
 def _pq_codebook_col(codebooks: list) -> Column:
@@ -1993,6 +2127,12 @@ def pq_build_index(
 
     with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
         codebooks = list(pool.map(_fit, range(m)))
+    # Observability ledger (mirrors _IVF_FIT_EVENTS): one entry per
+    # codebook-fit pass, so lifecycle tests can pin that append/serve
+    # paths never refit the PQ quantizers.
+    _PQ_FIT_EVENTS.append(
+        {"m": int(m), "k": int(k), "ncells": int(ivf.ncells)}
+    )
     coded = (
         nv.withColumn("cb", _pq_codebook_col(codebooks))
         .withColumn("codes", F.expr(_pq_encode_expr(m, k, dsub)))
@@ -2005,7 +2145,7 @@ def pq_build_index(
 
 def pq_query(
     index: IvfPqIndex,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     *,
     nprobe: int | None = None,
     n_queries: int = 10,
@@ -2015,10 +2155,17 @@ def pq_query(
 ) -> DataFrame:
     """Top-``k`` neighbors: IVF probe → ADC scan over CODES (the raw
     vectors never enter this join) → top-(k·refine) shortlist per query
-    → exact-cosine re-rank by fetching the shortlist's originals from
-    ``corpus`` via a broadcast equi-join (bounded by q×k·refine rows).
+    → exact-cosine re-rank by fetching the shortlist's originals via a
+    broadcast equi-join (bounded by q×k·refine rows). ``corpus=None``
+    (the default) fetches originals from ``index.ivf.assigned`` — the
+    index's OWN originals, which `IvfPqIndex.append` keeps complete, so
+    appended vectors are re-rankable (r10 verdict ask #5; an explicit
+    ``corpus`` overrides the fetch source for callers that keep
+    originals in a separate table and guarantee its completeness).
     ``refine=1`` serves pure-ADC ranking; raising it trades one tiny
     fetch for recall (CI pins the monotonicity)."""
+    if corpus is None:
+        corpus = index.ivf.assigned
     dsub = index.dim // index.m
     if nprobe is None:
         nprobe = index.ivf.nprobe_default
@@ -2052,18 +2199,26 @@ def pq_query(
         .filter(F.col("rn") <= k * refine)
         .select("q_id", "qv", "vec_id", "adc")
     )
+    # The fetch frame's columns are RENAMED before the join: with
+    # corpus defaulting to index.ivf.assigned, the shortlist (via the
+    # coded frame) and the fetch side share lineage, and DataFrame-
+    # qualified refs on a self-join are ambiguous.
+    fetch = corpus.select(
+        F.col("vec_id").alias("fetch_id"),
+        F.col("embedding").alias("fetch_emb"),
+    )
     rerank = (
-        corpus.join(
+        fetch.join(
             broadcast(shortlist),
-            corpus["vec_id"] == shortlist["vec_id"],
+            F.col("fetch_id") == shortlist["vec_id"],
         )
         .select(
             "q_id",
-            shortlist["vec_id"].alias("nb_id"),
+            F.col("fetch_id").alias("nb_id"),
             F.round(
                 _cosine(
                     F.col("qv"),
-                    _unit_norm(corpus["embedding"]),
+                    _unit_norm(F.col("fetch_emb")),
                 ),
                 4,
             ).alias("sim"),
@@ -2131,6 +2286,10 @@ def pq_save_index(index: IvfPqIndex, path: str) -> None:
         .partitionBy("cell")
         .parquet(os.path.join(path, "coded"))
     )
+    # Re-point at the durable layout (mirrors ivf_save_index): append()
+    # extends these files, and reads stay partition-pruned.
+    index.coded = spark.read.parquet(os.path.join(path, "coded"))
+    index.path = path
 
 
 def pq_load_index(spark: SparkSession, path: str) -> IvfPqIndex:
@@ -2154,7 +2313,8 @@ def pq_load_index(spark: SparkSession, path: str) -> IvfPqIndex:
     # separately persisted (one source of truth for the cell geometry).
     chat = _chat_frame(ivf) if residual else None
     return IvfPqIndex(
-        ivf, m, k, dim, codebooks, coded, residual=residual, chat=chat
+        ivf, m, k, dim, codebooks, coded, residual=residual, chat=chat,
+        path=path,
     )
 
 
@@ -2268,9 +2428,8 @@ def llm_ann_ivfpq(
         return spark.createDataFrame(
             [], "q_id bigint, nb_id bigint, sim double, nprobe int"
         )
-    corpus = load_table(spark, sf_dir, "embeddings")
     return pq_query(
-        index, corpus, nprobe=nprobe, refine=refine, queries=queries
+        index, nprobe=nprobe, refine=refine, queries=queries
     )
 
 
@@ -2305,11 +2464,10 @@ def llm_ann_pq_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "q_id bigint, nb_id bigint, sim double"
         )
-    corpus = load_table(spark, sf_dir, "embeddings")
-    n = corpus.count()
+    n = load_table(spark, sf_dir, "embeddings").count()
     refine = -(-n // 5)  # ceil(N / k): shortlist covers the corpus
     return pq_query(
-        index, corpus, nprobe=index.ivf.ncells, k=5, refine=refine
+        index, nprobe=index.ivf.ncells, k=5, refine=refine
     ).select("q_id", "nb_id", "sim")
 
 

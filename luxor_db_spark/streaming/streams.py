@@ -492,6 +492,21 @@ def stream_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon — inner time-bound stream-stream joins emit exactly the
     qualifying rows regardless of micro-batching.
     """
+    return _drain(
+        _embed_pair_join(spark, sf_dir),
+        "stream_embed_dedup",
+        "append",
+    )
+
+
+def _embed_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL stream-stream join of `stream_embed_dedup`, factored out
+    (mirroring `_stream_survivors`) so the state-cleanup plan pin in
+    tests/test_stream_invariance.py asserts eviction predicates on the
+    exact executed join — cosine conjunct and embedding columns included
+    (r10 ADVICE: a test-local rebuild WITHOUT the cosine conjunct would
+    keep passing even if the conjunct broke Spark's cleanup-predicate
+    extraction and state grew unbounded)."""
     emb = _stream_embeddings(spark, sf_dir)
     from luxor_db_spark.operators.llm import _dot, _l2norm
 
@@ -522,7 +537,7 @@ def stream_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("a.nrm") * F.col("b.nrm")),
         4,
     )
-    j = (
+    return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
@@ -539,7 +554,6 @@ def stream_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim.alias("sim"),
         )
     )
-    return _drain(j, "stream_embed_dedup", "append")
 
 
 # Sentinel doc injected to flush the final watermark of the survivor
@@ -553,12 +567,15 @@ _SURVIVOR_FLUSH_ID = 2_000_000_000
 
 def _stage_flushed_docs(spark: SparkSession, sf_dir: str) -> str:
     """Stage (doc_id, text) + the flush sentinel as a parquet directory
-    the file source can stream. Deterministic per sf_dir (overwritten
-    each call, not accumulated); the sentinel is written as a SEPARATE
-    later file so per-file micro-batching (the invariance test hook)
-    replays it last. This staging step is fixture plumbing — a real
-    ingest pipeline's stream never ends, so its watermark advances on
-    its own."""
+    the file source can stream. Keyed per (sf_dir, pid) — deterministic
+    WITHIN a process (overwritten each call, not accumulated) but never
+    shared ACROSS processes: two concurrent sessions on the same corpus
+    (parallel pytest, bench alongside tests) must not overwrite a
+    directory the other's file-source stream is mid-listing (r10 ADVICE
+    #4). The sentinel is written as a SEPARATE later file so per-file
+    micro-batching (the invariance test hook) replays it last. This
+    staging step is fixture plumbing — a real ingest pipeline's stream
+    never ends, so its watermark advances on its own."""
     import hashlib
     import os
     import tempfile
@@ -566,7 +583,8 @@ def _stage_flushed_docs(spark: SparkSession, sf_dir: str) -> str:
     staged = os.path.join(
         tempfile.gettempdir(),
         "luxor_survivor_docs_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        + f"_p{os.getpid()}",
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs.write.mode("overwrite").parquet(staged)

@@ -779,6 +779,110 @@ def test_engine_ann_index_append_durable(sf_dir, tmp_path):
     )
 
 
+def test_engine_pq_index_append_encode_only(spark, sf_dir):
+    """r10 verdict ask #5: `IvfPqIndex.append` / `LuxorEngine.append_index`
+    grow a built IVF-PQ index by encoding the batch through the FROZEN
+    coarse quantizer and FROZEN codebooks — zero coarse fits, zero
+    codebook fits — and the appended originals are visible to the
+    exact-cosine re-rank (a clone of each query becomes its 1.0-sim top
+    neighbor). The grown index answers exactly like an encode-only
+    rebuild over the SAME codebooks of the full (corpus + batch)."""
+    import luxor_db_spark.operators.llm as llm_mod
+    from pyspark.sql import functions as F
+
+    from luxor_db_spark.catalog import load_table
+    from luxor_db_spark.engine import LuxorEngine
+    from luxor_db_spark.operators.llm import (
+        IvfPqIndex,
+        _pq_encode_assigned,
+        pq_query,
+    )
+
+    eng = LuxorEngine.local(sf_dir)
+    idx = eng.build_index("llm_ann_ivfpq")
+    corpus = load_table(eng.spark, sf_dir, "embeddings")
+    batch = corpus.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "label", "embedding"
+    )
+
+    n_ivf = len(llm_mod._IVF_FIT_EVENTS)
+    n_pq = len(llm_mod._PQ_FIT_EVENTS)
+    grown = eng.append_index(batch, key="llm_ann_ivfpq")
+    got = {(r.q_id, r.nb_id, r.sim) for r in pq_query(grown).collect()}
+    assert len(llm_mod._IVF_FIT_EVENTS) == n_ivf, "append refit the coarse"
+    assert len(llm_mod._PQ_FIT_EVENTS) == n_pq, "append refit the codebooks"
+    assert grown is idx  # in-place growth of the cached index
+    for q in range(10):  # appended clone re-ranked to the top: the fetch
+        assert (q, q + 9000, 1.0) in got  # source saw the new originals
+
+    # identical to an encode-only rebuild over the SAME codebooks
+    full_assigned = idx.ivf.assign(corpus.unionByName(batch))
+    rebuilt = IvfPqIndex(
+        idx.ivf,
+        idx.m,
+        idx.k,
+        idx.dim,
+        idx.codebooks,
+        _pq_encode_assigned(
+            full_assigned, idx.codebooks, idx.m, idx.k, idx.dim,
+            residual=idx.residual, chat=idx.chat,
+        ),
+        residual=idx.residual,
+        chat=idx.chat,
+    )
+    assert got == {
+        (r.q_id, r.nb_id, r.sim) for r in pq_query(rebuilt).collect()
+    }
+    assert len(llm_mod._PQ_FIT_EVENTS) == n_pq
+
+
+def test_engine_pq_index_append_durable(sf_dir, tmp_path):
+    """Disk-backed PQ append: after save_index, append writes the coded
+    batch INTO the cell-partitioned coded parquet and the originals into
+    the nested ivf assignment parquet; the grown index serves it, and a
+    completely fresh pq_load_index sees the appended vectors."""
+    import luxor_db_spark.operators.llm as llm_mod
+    from pyspark.sql import functions as F
+
+    from luxor_db_spark.catalog import load_table
+    from luxor_db_spark.engine import LuxorEngine
+    from luxor_db_spark.operators.llm import pq_query
+
+    eng = LuxorEngine.local(sf_dir)
+    eng.build_index("llm_ann_ivfpq")
+    path = str(tmp_path / "pqidx")
+    eng.save_index(path, key="llm_ann_ivfpq")
+    eng.drop_index("llm_ann_ivfpq")
+
+    n_ivf = len(llm_mod._IVF_FIT_EVENTS)
+    n_pq = len(llm_mod._PQ_FIT_EVENTS)
+    eng.load_index(path, key="llm_ann_ivfpq")
+    corpus = load_table(eng.spark, sf_dir, "embeddings")
+    batch = corpus.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "label", "embedding"
+    )
+    grown = eng.append_index(batch, key="llm_ann_ivfpq")
+    served = {
+        (r.q_id, r.nb_id, r.sim)
+        for r in eng.run("llm_ann_ivfpq").collect()
+    }
+    assert all((q, q + 9000, 1.0) in served for q in range(10))
+    assert grown.coded.count() == corpus.count() + 10
+    assert grown.ivf.assigned.count() == corpus.count() + 10
+
+    eng.drop_index("llm_ann_ivfpq")
+    fresh = eng.load_index(path, key="llm_ann_ivfpq")
+    assert fresh.coded.count() == corpus.count() + 10
+    refreshed = {
+        (r.q_id, r.nb_id, r.sim) for r in pq_query(fresh).collect()
+    }
+    assert refreshed == served
+    assert len(llm_mod._IVF_FIT_EVENTS) == n_ivf
+    assert len(llm_mod._PQ_FIT_EVENTS) == n_pq, (
+        "save/load/append lifecycle must involve zero PQ fits"
+    )
+
+
 def test_engine_index_key_and_kwarg_guards(sf_dir, tmp_path):
     """r9 ADVICE trio: load_index/append_index validate the key against
     the index whitelist (a wrong key used to cache an index that run()

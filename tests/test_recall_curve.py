@@ -576,9 +576,8 @@ def test_ivfpq_engine_lifecycle_and_guards(sf_dir):
     """Engine integration: build_index("llm_ann_ivfpq") fits once
     (coarse grid + m codebooks), run() serves batches off the cached
     index with zero extra coarse fits, build-affecting kwargs are
-    refused over a cached index, and the not-yet-supported lifecycle
-    edges (persistence, append) fail AT THE CALL SITE with the
-    capability named."""
+    refused over a cached index, and an unsupported lifecycle key
+    fails AT THE CALL SITE with the capability named."""
     import pytest as _pytest
 
     import luxor_db_spark.operators.llm as llm_mod
@@ -594,8 +593,11 @@ def test_ivfpq_engine_lifecycle_and_guards(sf_dir):
 
     with _pytest.raises(ValueError, match="would be\\s+ignored"):
         eng.run("llm_ann_ivfpq", m=4)
+    # append became a supported lifecycle edge in r11 (encode-only,
+    # zero fits — pinned by tests/test_engine.py's grown-vs-rebuilt
+    # pair); an unsupported KEY still fails at the call site.
     with _pytest.raises(KeyError, match="no index append"):
-        eng.append_index(None, key="llm_ann_ivfpq")
+        eng.append_index(None, key="llm_dedup_near")
     with _pytest.raises(ValueError, match="TINYINT"):
         llm_mod.pq_build_index(eng.spark, sf_dir, k=200)
     assert idx.dim % idx.m == 0

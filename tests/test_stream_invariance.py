@@ -408,45 +408,16 @@ def test_stream_survivors_inorder_multibatch_equals_single(
 def test_stream_embed_state_cleanup_predicates(spark):
     """The executed plan must carry ts-derived state-cleanup predicates
     on BOTH sides of the sign-block join — the non-time conjuncts
-    (vec_id <, the cosine fold) must not break eviction extraction.
-    Built from the module internals (the registered callable drains to
-    completion; the plan pin needs its own sink)."""
-    from pyspark.sql import functions as F
+    (vec_id <, the COSINE fold) must not break eviction extraction.
+    Pins the plan of the REAL join builder (`_embed_pair_join`, the
+    exact DataFrame `stream_embed_dedup` drains — cosine conjunct and
+    embedding columns included), not a test-local reconstruction: if
+    the sim >= 0.1 conjunct ever broke Spark's cleanup-predicate
+    extraction, join state would grow unbounded and THIS pin is the
+    tripwire (r10 ADVICE #1)."""
+    from luxor_db_spark.streaming.streams import _embed_pair_join
 
-    from luxor_db_spark.operators.llm import _l2norm
-    from luxor_db_spark.streaming.streams import (
-        _EMBED_STREAM_BITS,
-        _stream_embeddings,
-    )
-
-    emb = _stream_embeddings(spark, SF_DIR)
-    blk = None
-    for i in range(_EMBED_STREAM_BITS):
-        bit = F.when(
-            F.element_at("embedding", i + 1) > 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-        blk = bit if blk is None else blk + bit
-    sig = emb.select(
-        "vec_id",
-        F.timestamp_micros(
-            ((F.col("vec_id") + F.lit(1440)) * F.lit(60_000_000)).cast(
-                "long"
-            )
-        ).alias("ts"),
-        _l2norm(F.col("embedding")).alias("nrm"),
-        blk.cast("int").alias("blk"),
-    ).withWatermark("ts", "2 hours")
-    epoch = F.floor(F.unix_timestamp("ts") / 7200).cast("long")
-    j = sig.withColumn(
-        "epoch", F.explode(F.array(epoch, epoch + 1))
-    ).alias("a").join(
-        sig.withColumn("epoch", epoch).alias("b"),
-        F.expr(
-            "a.blk = b.blk AND a.epoch = b.epoch "
-            "AND a.vec_id < b.vec_id "
-            "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOURS"
-        ),
-    )
+    j = _embed_pair_join(spark, SF_DIR)
     q = j.writeStream.format("noop").start()
     try:
         q.processAllAvailable()

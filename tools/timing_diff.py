@@ -97,6 +97,52 @@ def main(argv: list[str]) -> int:
     for key, a, b, pct in sorted(quiet, key=lambda r: -(r[3] or 0)):
         lines.append(f"| {key} | {a} | {b} | {pct:+.0f}% |")
     lines += ["", "</details>", ""]
+    # Probe queue (r10 verdict ask #8): a key one-sided above noise for
+    # TWO consecutive rounds stops depending on judge attention — emit
+    # the exact alternating-worktree probe invocation to run. "Two
+    # consecutive rounds one-sided" = the NEW value exceeds BOTH prior
+    # rounds' values by >25% (a reversal in either pair is noise by the
+    # calibration policy above).
+    def _rnum(label: str) -> int | None:
+        import re as _re
+
+        m = _re.fullmatch(r"r?(\d+)", label)
+        return int(m.group(1)) if m else None
+
+    queue = []
+    n_old = _rnum(old)
+    for key, a, b, pct in loud:
+        if pct is None or b <= a * 1.25:
+            continue
+        prev_label = None
+        if n_old is not None:
+            cands = {
+                _rnum(lbl): lbl
+                for lbl in ledger.get(key, {})
+                if _rnum(lbl) is not None and _rnum(lbl) < n_old
+            }
+            if cands:
+                prev_label = cands[max(cands)]
+        pp = ledger.get(key, {}).get(prev_label) if prev_label else None
+        if pp is not None and b <= pp * 1.25:
+            continue  # reversal vs the round before: noise
+        queue.append((key, pp, a, b))
+    if queue:
+        lines += [
+            "## Probe queue (two-round one-sided regressions)",
+            "",
+            "Confirm-or-kill each with the alternating-worktree bisect "
+            "before touching code; record the verdict in docs/SCALE.md:",
+            "",
+        ]
+        for key, pp, a, b in queue:
+            hist = (f"{pp}s → " if pp is not None else "") + f"{a}s → {b}s"
+            lines.append(
+                f"- `{key}` ({hist}): "
+                f"`SPARK_GRAFT_SF_DIR=$SF python tools/drift_probe.py "
+                f"--ab <{old}-end-commit> {key}`"
+            )
+        lines.append("")
     missing = [r for r in rows if r[3] is None]
     if missing:
         lines.append(
@@ -109,6 +155,8 @@ def main(argv: list[str]) -> int:
     print(f"wrote {OUT}")
     for key, a, b, pct in worst[:10]:
         print(f"{key}: {a}s -> {b}s ({pct:+.0f}%)")
+    for key, pp, a, b in queue:
+        print(f"PROBE {key}: run drift_probe.py --ab (see {OUT})")
     if fail_pct is not None and any(r[3] > fail_pct for r in loud):
         return 1
     return 0
