@@ -779,6 +779,45 @@ def test_engine_ann_index_append_durable(sf_dir, tmp_path):
     )
 
 
+def test_ivf_load_index_legacy_meta_fallback(sf_dir, tmp_path):
+    """r10 ADVICE #3: indexes persisted by the pre-r10 layout (driver-
+    local meta.json instead of the {path}/meta JSON dataset) must still
+    load; a directory with NEITHER layout fails with a named error, not
+    an opaque AnalysisException."""
+    import json
+    import shutil
+
+    import pytest as _pytest
+
+    from luxor_db_spark.engine import LuxorEngine
+    from luxor_db_spark.operators.llm import ivf_load_index, ivf_query
+
+    eng = LuxorEngine.local(sf_dir)
+    idx = eng.build_index("llm_ann_ivf")
+    path = str(tmp_path / "ivfidx")
+    eng.save_index(path)
+    served = {(r.q_id, r.nb_id, r.sim) for r in ivf_query(idx).collect()}
+
+    # Rewrite the save into the LEGACY layout: meta dataset -> meta.json
+    shutil.rmtree(f"{path}/meta")
+    with open(f"{path}/meta.json", "w") as fh:
+        json.dump(
+            {
+                "ncells": idx.ncells,
+                "nprobe_default": idx.nprobe_default,
+            },
+            fh,
+        )
+    legacy = ivf_load_index(eng.spark, path)
+    assert legacy.ncells == idx.ncells
+    assert {
+        (r.q_id, r.nb_id, r.sim) for r in ivf_query(legacy).collect()
+    } == served
+
+    with _pytest.raises(ValueError, match="rebuild and re-save"):
+        ivf_load_index(eng.spark, str(tmp_path / "nothing_here"))
+
+
 def test_engine_pq_index_append_encode_only(spark, sf_dir):
     """r10 verdict ask #5: `IvfPqIndex.append` / `LuxorEngine.append_index`
     grow a built IVF-PQ index by encoding the batch through the FROZEN
