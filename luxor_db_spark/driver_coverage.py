@@ -154,9 +154,10 @@ def _load_stale() -> frozenset[str]:
 # through module-level HELPERS the per-key AST hash cannot see (the
 # ledger hashes the @query-decorated function only). Maintained by hand
 # when a round rewrites shared helpers: these re-queue exactly like
-# hash-stale keys so the driver re-verifies them. r10: ivf_build_index /
-# IvfIndex gained the tier-scaled training floor + append — llm_ann_ivf's
-# r9 green predates that.
+# hash-stale keys so the driver re-verifies them. r11: IvfIndex gained
+# the factored assign() (schema-cast append path) and _unit_norm was
+# rewritten (one-fold normalization) — llm_ann_ivf's r10 green predates
+# both; llm_ann_ivfpq's own function hash changed, so it self-queues.
 _HELPER_STALE: frozenset[str] = frozenset({"llm_ann_ivf"})
 
 STALE_EVIDENCE: frozenset[str] = _load_stale() | _HELPER_STALE
@@ -196,7 +197,7 @@ _LATE_FRESH: frozenset[str] = frozenset(
     llm_ann_ivfpq
     stream_embed_dedup
     llm_chunk_dedup
-    llm_ann_parity llm_ann_pq_parity
+    llm_ann_parity llm_ann_pq_parity stream_chunk_dedup
     """.split()
 )
 
@@ -254,6 +255,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "llm_chunk_dedup": 10,
     "llm_ann_parity": 11,
     "llm_ann_pq_parity": 11,
+    "stream_chunk_dedup": 11,
 }
 
 

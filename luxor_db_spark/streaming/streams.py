@@ -740,6 +740,164 @@ def stream_dedup_survivors(
     )
 
 
+def _stream_chunk_survivors(docs: DataFrame) -> DataFrame:
+    """The surviving-CHUNK pipeline on an already-streaming (doc_id,
+    text) source: per-row chunking (16-token spans, `llm_chunk_dedup`'s
+    grain) → watermarked left-OUTER cmd5 self-join against in-horizon
+    LOWER (doc_id, chunk_id) partners → windowed per-chunk aggregation
+    that keeps a chunk iff NO condemning partner matched. Factored out
+    (like `_stream_survivors`) so the invariance and state-cleanup
+    tests drive the exact executed pipeline."""
+    from luxor_db_spark.operators.llm import _CDD_W
+
+    d = docs.select(
+        "doc_id",
+        F.timestamp_micros(
+            ((F.col("doc_id") + F.lit(1440)) * F.lit(60_000_000)).cast(
+                "long"
+            )
+        ).alias("ts"),
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("tok"),
+    ).withColumn("n", F.size("tok"))
+    ch = (
+        d.select(
+            "doc_id",
+            "ts",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.col("n"), F.lit(1)), F.lit(_CDD_W)
+                )
+            ).alias("start"),
+            "tok",
+        )
+        .select(
+            "doc_id",
+            "ts",
+            ((F.col("start") - 1) / _CDD_W).cast("int").alias("chunk_id"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("tok"), F.col("start"), F.lit(_CDD_W))
+                )
+            ).alias("cmd5"),
+        )
+        .withWatermark("ts", "2 hours")
+    )
+    # Same time-epoch key fragmentation as the other streaming dedup
+    # keys: the condemning side (a) explodes into {epoch, epoch+1}, the
+    # survivor side (b) keeps its own epoch, so each LEFT chunk row
+    # yields exactly one unmatched null row when no partner exists.
+    epoch = F.floor(F.unix_timestamp("ts") / 7200).cast("long")
+    a = ch.withColumn(
+        "epoch", F.explode(F.array(epoch, epoch + 1))
+    ).alias("a")
+    b = ch.withColumn("epoch", epoch).alias("b")
+    j = b.join(
+        a,
+        F.expr(
+            "a.cmd5 = b.cmd5 AND a.epoch = b.epoch "
+            "AND (a.doc_id < b.doc_id OR "
+            "     (a.doc_id = b.doc_id AND a.chunk_id < b.chunk_id)) "
+            "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOURS"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("b.doc_id").alias("doc_id"),
+        F.col("b.chunk_id").alias("chunk_id"),
+        F.col("b.cmd5").alias("cmd5"),
+        F.col("b.ts").alias("ts"),
+        F.col("a.doc_id").isNotNull().cast("int").alias("condemned"),
+    )
+    return (
+        j.groupBy(F.window("ts", "1 hour"), "doc_id", "chunk_id", "cmd5")
+        .agg(F.max("condemned").alias("any_hit"))
+        .filter(
+            (F.col("any_hit") == 0)
+            & (F.col("doc_id") != _SURVIVOR_FLUSH_ID)
+        )
+        .select("doc_id", "chunk_id", "cmd5")
+    )
+
+
+def _stream_chunk_oracle() -> str:
+    from luxor_db_spark.operators.llm import _CDD_W
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tok,
+             len(string_split(coalesce(text, ''), ' ')) AS n
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, CAST((start - 1) / {_CDD_W} AS INT) AS chunk_id,
+             md5(array_to_string(
+                   list_slice(tok, start, start + {_CDD_W} - 1), ' '))
+               AS cmd5
+      FROM d, unnest(generate_series(1, greatest(n, 1), {_CDD_W}))
+               AS t(start)
+    )
+    SELECT b.doc_id, b.chunk_id, b.cmd5 FROM ch b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ch a
+      WHERE a.cmd5 = b.cmd5
+        AND (a.doc_id < b.doc_id OR
+             (a.doc_id = b.doc_id AND a.chunk_id < b.chunk_id))
+        AND b.doc_id - a.doc_id <= 120)
+    """
+
+
+@query("stream_chunk_dedup", oracle=_stream_chunk_oracle())
+def stream_chunk_dedup(
+    spark: SparkSession, sf_dir: str, *, staged_dir: str | None = None
+) -> DataFrame:
+    """STREAMING chunk-grain dedup (r11): the streaming twin of
+    `llm_chunk_dedup` and the chunk-grain sibling of
+    `stream_dedup_survivors` — documents arrive as a stream, are split
+    in-flight into non-overlapping 16-token chunks, and a chunk SURVIVES
+    iff no identical chunk (same md5 fingerprint) with a lower
+    (doc_id, chunk_id) exists within the 2-hour ingest horizon. The
+    output is the deduped CHUNK stream — what a Gopher/RefinedWeb-style
+    span-dedup ingest actually sinks: repeated boilerplate and quote
+    farms drop in-flight, document remainders keep flowing.
+
+    Mechanics: shuffle-free per-row chunking (sequence → explode →
+    slice, the `llm_chunk_dedup` grain), then the `_stream_survivors`
+    machinery at chunk grain — watermarked left-OUTER cmd5 self-join
+    with the lower-(doc_id, chunk_id) and horizon conditions IN the
+    join (a null partner means "no condemning chunk in this
+    fingerprint-epoch"), chained into a windowed per-chunk aggregation
+    (multi-stateful append mode) keeping unmatched chunks. State on
+    both sides is watermark-bounded by the ts-range conjuncts; the hot
+    fingerprint (the empty chunk, boilerplate headers) is capped per
+    epoch by the time-epoch key fragmentation, and only (cmd5, ids, ts)
+    tuples ever enter state — the text never leaves its chunking task.
+
+    Finite-fixture plumbing: same far-future sentinel flush as
+    `stream_dedup_survivors` (outer-join nulls and window results emit
+    only once the watermark passes them); a real stream needs no
+    sentinel, later traffic is the flush.
+
+    Oracle: the batch chunk inventory anti-joined against in-horizon
+    lower partners (NOT EXISTS) — the streaming result must equal the
+    batch horizon-dedup row for row.
+    """
+    import os
+
+    if staged_dir is None:
+        staged_dir = _stage_flushed_docs(spark, sf_dir)
+    from luxor_db_spark.session import configure
+
+    configure(spark)
+    schema = spark.read.parquet(staged_dir).schema
+    rs = spark.readStream.schema(schema)
+    mft = os.environ.get("LUXOR_STREAM_MAX_FILES_PER_TRIGGER")
+    if mft:
+        rs = rs.option("maxFilesPerTrigger", int(mft))
+    docs = rs.parquet(staged_dir)
+    return _drain(
+        _stream_chunk_survivors(docs), "stream_chunk_dedup", "append"
+    )
+
+
 @query(
     "stream_static_join",
     oracle="""

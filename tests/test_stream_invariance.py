@@ -399,6 +399,132 @@ def test_stream_survivors_inorder_multibatch_equals_single(
     assert single and per_file == single
 
 
+# --- stream_chunk_dedup (r11) ------------------------------------------------
+# Chunk-grain twin of the survivor key: same delivery contract, same
+# bounded-state obligations, chunking done in-flight.
+
+
+def test_stream_chunk_state_cleanup_and_chained_stateful_plan(spark):
+    """The executed plan of the REAL pipeline (`_stream_chunk_survivors`
+    — the exact DataFrame the registered key drains) must carry the
+    outer join with ts-derived state-cleanup predicates on BOTH sides
+    (the cmd5 equality and the composite lower-(doc_id, chunk_id)
+    disjunction must not break eviction extraction) plus the chained
+    streaming aggregation."""
+    from luxor_db_spark.streaming.streams import (
+        _stream_chunk_survivors,
+        _stream_documents,
+    )
+
+    docs = _stream_documents(spark, SF_DIR).select("doc_id", "text")
+    q = _stream_chunk_survivors(docs).writeStream.format("noop").start()
+    try:
+        q.processAllAvailable()
+        plan = q._jsq.explainInternal(True)
+    finally:
+        q.stop()
+    assert "StreamingSymmetricHashJoin" in plan
+    assert "LeftOuter" in plan, "survivor join must be an OUTER join"
+    assert "state cleanup [ left value predicate: (ts" in plan, (
+        "left-side state eviction predicate missing — join state unbounded"
+    )
+    assert "right value predicate: (ts" in plan, (
+        "right-side state eviction predicate missing"
+    )
+    assert "StateStoreSave" in plan, (
+        "chained streaming aggregation missing from the executed plan"
+    )
+
+
+def test_stream_chunk_survivors_superset_of_batch_kept(spark):
+    """Cross-key composition pin: `llm_chunk_dedup` keeps a chunk iff it
+    is the CORPUS-WIDE first occurrence of its fingerprint; the stream
+    key condemns only within the 2-hour horizon — a strictly weaker
+    condemnation. So stream survivors must be a SUPERSET of the batch
+    per-doc kept counts (equality iff every dup pair is in-horizon),
+    and the fixture must exercise a real gap (some chunk condemned
+    corpus-wide but out-of-horizon) or the horizon semantics are
+    untested."""
+    stream_surv = QUERIES["stream_chunk_dedup"](spark, SF_DIR).collect()
+    per_doc_stream = {}
+    for r in stream_surv:
+        per_doc_stream[r.doc_id] = per_doc_stream.get(r.doc_id, 0) + 1
+    batch = {
+        r.doc_id: (r.n_chunks, r.n_kept)
+        for r in QUERIES["llm_chunk_dedup"](spark, SF_DIR).collect()
+    }
+    assert set(per_doc_stream) == set(batch)  # every doc still present
+    for doc_id, (n_chunks, n_kept) in batch.items():
+        assert n_kept <= per_doc_stream[doc_id] <= n_chunks, doc_id
+    total_stream = sum(per_doc_stream.values())
+    total_batch_kept = sum(k for _, k in batch.values())
+    total_chunks = sum(n for n, _ in batch.values())
+    assert total_batch_kept < total_stream < total_chunks, (
+        "fixture must exercise both in-horizon dups (stream < all) and "
+        "out-of-horizon dups (stream > batch-kept)"
+    )
+
+
+def test_stream_chunk_inorder_multibatch_equals_single(
+    spark, tmp_path_factory
+):
+    """IN-ORDER delivery across micro-batches preserves the surviving
+    chunk set exactly (3 doc_id-range files + flush sentinel last,
+    mtime order = event-time order, one file per trigger)."""
+    import glob
+    import shutil as _shutil
+
+    from luxor_db_spark.streaming.streams import _SURVIVOR_FLUSH_ID
+
+    root = tmp_path_factory.mktemp("chunk_split")
+    staged = os.path.join(str(root), "staged")
+    os.makedirs(staged)
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+    n_docs = docs.count()
+    bounds = [0, n_docs // 3, 2 * n_docs // 3, n_docs]
+    for i in range(3):
+        part = docs.filter(
+            (docs.doc_id >= bounds[i]) & (docs.doc_id < bounds[i + 1])
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(str(root), f"tmp{i}")
+        )
+        src = glob.glob(os.path.join(str(root), f"tmp{i}", "*.parquet"))[0]
+        fpath = os.path.join(staged, f"part-{i:05d}.parquet")
+        _shutil.copy(src, fpath)
+        os.utime(fpath, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    spark.createDataFrame(
+        [(_SURVIVOR_FLUSH_ID, "watermark flush sentinel")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(root), "tmps")
+    )
+    src = glob.glob(os.path.join(str(root), "tmps", "*.parquet"))[0]
+    spath = os.path.join(staged, "part-99999.parquet")
+    _shutil.copy(src, spath)
+    os.utime(spath, (1_000_400, 1_000_400))
+
+    single = _run(spark, SF_DIR, "stream_chunk_dedup")
+    assert os.environ.get(_ENV) is None
+    os.environ[_ENV] = "1"
+    try:
+        per_file = canonical_rows(
+            ["doc_id", "chunk_id", "cmd5"],
+            [
+                tuple(r)
+                for r in QUERIES["stream_chunk_dedup"](
+                    spark, SF_DIR, staged_dir=staged
+                ).collect()
+            ],
+        )
+    finally:
+        del os.environ[_ENV]
+    assert single and per_file == single
+
+
 # --- stream_embed_dedup (r10) ------------------------------------------------
 # Embedding-space twin of the simhash pair key: same delivery contract
 # (exact under in-order delivery; watermark eviction is the out-of-order

@@ -52,6 +52,16 @@ _ALLOWED_REPEATS: dict[str, dict[str, tuple[int, str]]] = {
             "and one bounded embeddings read",
         )
     },
+    "llm_ann_pq_parity": {
+        "embeddings": (
+            3,
+            "same three roles as llm_ann_ivfpq's build-per-call path "
+            "(encode lineage, vec_id<10 probe side, re-rank fetch); the "
+            "parity harness widens nprobe/refine but adds no pass — it "
+            "exists to hash-certify the serving plumbing at fixture "
+            "scale, not to run at 100 TB",
+        )
+    },
     "agg_countmin": {
         "events": (3, "1 sketch-build pass + 2 probe reads with pushed user_id<20 filter (tiny selective reads)")
     },
