@@ -3505,8 +3505,16 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep.groupBy(F.col("k.doc_id").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("int").alias("n_kept"))
     )
-    n_chunks = ch.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_chunks")
+    # n_chunks is CLOSED-FORM from the token count — ceil(max(n,1)/W) —
+    # so this branch never re-chunks (no explode/md5): one light scan of
+    # (doc_id, n), aggregated map-side to nothing (one row per doc).
+    # The r11 A/B probe priced the explode-twice form at +23% vs the
+    # retired window form; this recovers it.
+    n_chunks = d.select(
+        "doc_id",
+        (
+            (F.greatest(F.col("n"), F.lit(1)) - 1) / _CDD_W + 1
+        ).cast("int").alias("n_chunks"),
     )
     return (
         n_chunks.join(n_kept, "doc_id", "left")

@@ -40,13 +40,30 @@ def main(argv: list[str]) -> int:
         fail_pct = float(argv[argv.index("--fail-pct") + 1])
     with open(LEDGER) as fh:
         ledger = json.load(fh)
+
+    # Suite-median machine factor: the ledger is re-measured on whatever
+    # the round's machine conditions are, and a busy round inflates EVERY
+    # key (r11: median ratio 1.22 vs r10's 1.01). Per-key drift is only
+    # meaningful RELATIVE to that global factor, so all deltas below are
+    # computed on the deflated new value b / med_ratio.
+    import statistics
+
+    def _median_ratio(lo: str, hi: str) -> float:
+        rats = [
+            cols[hi] / cols[lo]
+            for cols in ledger.values()
+            if cols.get(lo) and cols.get(hi)
+        ]
+        return statistics.median(rats) if rats else 1.0
+
+    med_ratio = _median_ratio(old, new)
     rows = []
     for key, cols in sorted(ledger.items()):
         a, b = cols.get(old), cols.get(new)
         if a is None or b is None:
             rows.append((key, a, b, None))
             continue
-        pct = (b - a) / a * 100 if a > 0 else 0.0
+        pct = (b / med_ratio - a) / a * 100 if a > 0 else 0.0
         rows.append((key, a, b, pct))
     diffed = [r for r in rows if r[3] is not None]
     loud = [
@@ -62,14 +79,17 @@ def main(argv: list[str]) -> int:
         f"(sf0.01, vanilla local[8] session — uniform across all keys; "
         f"the bench's sf0.1 tuned numbers stay the headline metric). "
         f"Diff: `{old}` → `{new}`, {len(diffed)} keys in both columns, "
-        f"noise floor {NOISE_FLOOR_S}s.",
+        f"noise floor {NOISE_FLOOR_S}s. Suite-median machine factor "
+        f"{med_ratio:.3f}; every Δ% below is the key's drift AFTER "
+        f"dividing the new value by it (a global slowdown is the "
+        f"machine, not the code).",
         "",
         f"- total: {sum(r[1] for r in diffed):.1f}s ({old}) → "
         f"{sum(r[2] for r in diffed):.1f}s ({new})",
         f"- keys above noise floor: {len(loud)}",
-        f"- worse by >25% (above floor): "
+        f"- worse by >25% net of machine factor (above floor): "
         f"{sum(1 for r in loud if r[3] > 25)}",
-        f"- better by >25% (above floor): "
+        f"- better by >25% net of machine factor (above floor): "
         f"{sum(1 for r in loud if r[3] < -25)}",
         "",
         "Calibration (r10 drift probe, `tools/drift_probe.py`): same-code "
@@ -112,7 +132,7 @@ def main(argv: list[str]) -> int:
     queue = []
     n_old = _rnum(old)
     for key, a, b, pct in loud:
-        if pct is None or b <= a * 1.25:
+        if pct is None or pct <= 25:  # net of the machine factor
             continue
         prev_label = None
         if n_old is not None:
@@ -124,8 +144,10 @@ def main(argv: list[str]) -> int:
             if cands:
                 prev_label = cands[max(cands)]
         pp = ledger.get(key, {}).get(prev_label) if prev_label else None
-        if pp is not None and b <= pp * 1.25:
-            continue  # reversal vs the round before: noise
+        if pp is not None:
+            ratio_pp = _median_ratio(prev_label, new)
+            if b / ratio_pp <= pp * 1.25:
+                continue  # reversal vs the round before: noise
         queue.append((key, pp, a, b))
     if queue:
         lines += [
