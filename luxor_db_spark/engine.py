@@ -30,8 +30,9 @@ from luxor_db_spark.session import configure, get_spark
 _INDEX_KEYS = frozenset({"llm_ann_ivf", "llm_ann_ivfpq"})
 # Lifecycle support varies by index kind; wrong-kind calls must fail at
 # the call site with the capability named, not deep in serialization.
-# (append stays IVF-only: an appended PQ batch would be invisible to the
-# exact re-rank, which fetches originals from the corpus table.)
+# (PQ append is supported as of r11: pq_query fetches its re-rank
+# originals from index.ivf.assigned, which IvfPqIndex.append grows
+# alongside the coded corpus, so appended batches are re-rank-visible.)
 _PERSISTABLE_INDEX_KEYS = frozenset({"llm_ann_ivf", "llm_ann_ivfpq"})
 _APPENDABLE_INDEX_KEYS = frozenset({"llm_ann_ivf", "llm_ann_ivfpq"})
 

@@ -1382,7 +1382,9 @@ class IvfIndex:
             )
         ).select("vec_id", "label", "embedding", "cell")
 
-    def append(self, batch: DataFrame) -> "IvfIndex":
+    def append(
+        self, batch: DataFrame, assigned: DataFrame | None = None
+    ) -> "IvfIndex":
         """Assign-only incremental update (r9 verdict ask #3): route a new
         vector batch through the FITTED quantizer — no refit, no pass
         over the existing corpus. The batch (vec_id, label, embedding)
@@ -1402,8 +1404,13 @@ class IvfIndex:
         long as the data distribution hasn't drifted — on drift, rebuild
         with `ivf_build_index` (the engine test pins that a grown index
         answers exactly like an assign-only rebuild over the same
-        centroids, with zero fit events)."""
-        assigned_new = self.assign(batch)
+        centroids, with zero fit events).
+
+        ``assigned`` lets a caller that already routed the batch through
+        `assign` (IvfPqIndex.append needs the cell ids for the encode
+        pass) reuse that frame, so each batch runs model.transform and
+        the schema casts exactly once."""
+        assigned_new = self.assign(batch) if assigned is None else assigned
         if self.path is not None:
             import os
 
@@ -1911,7 +1918,7 @@ class IvfPqIndex:
         test pins grown-PQ == rebuilt-PQ over identical codebooks with
         zero fit events."""
         assigned_new = self.ivf.assign(batch)
-        self.ivf.append(batch)
+        self.ivf.append(batch, assigned=assigned_new)
         coded_new = _pq_encode_assigned(
             assigned_new,
             self.codebooks,
@@ -2169,9 +2176,18 @@ def pq_query(
     dsub = index.dim // index.m
     if nprobe is None:
         nprobe = index.ivf.nprobe_default
+    # Keep the RAW query vector alongside the unit-normalized one: the
+    # ADC fold scores against normalized codes, but the exact re-rank
+    # computes cosine over RAW embeddings via _cosine — the same
+    # computation ivf_query and the DuckDB oracle run, so the parity
+    # key's ROUND(sim,4) hash is equal by construction, not within-ulp
+    # (r11 ADVICE #5: dot of unit-normalized doubles can land on the
+    # other side of a .00005 rounding boundary than cosine over raws).
     qc = ivf_probe_cells(
         index.ivf, nprobe=nprobe, n_queries=n_queries, queries=queries
-    ).withColumn("qv", _unit_norm(F.col("qv")))
+    ).withColumn("qv_raw", F.col("qv")).withColumn(
+        "qv", _unit_norm(F.col("qv"))
+    )
     if index.residual:
         # IVFADC base term: dot(q̂, ĉ) is EXACT per (query, probed
         # cell) — nprobe rows per query, computed on the broadcast
@@ -2197,7 +2213,7 @@ def pq_query(
     shortlist = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k * refine)
-        .select("q_id", "qv", "vec_id", "adc")
+        .select("q_id", "qv_raw", "vec_id", "adc")
     )
     # The fetch frame's columns are RENAMED before the join: with
     # corpus defaulting to index.ivf.assigned, the shortlist (via the
@@ -2216,11 +2232,7 @@ def pq_query(
             "q_id",
             F.col("fetch_id").alias("nb_id"),
             F.round(
-                _cosine(
-                    F.col("qv"),
-                    _unit_norm(F.col("fetch_emb")),
-                ),
-                4,
+                _cosine(F.col("qv_raw"), F.col("fetch_emb")), 4
             ).alias("sim"),
         )
     )
@@ -2456,9 +2468,10 @@ def llm_ann_pq_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force kNN — codebook fit, ADC fold, shortlist window, original
     fetch join, and re-rank all run the production code path, and the
     driver hash-checks the end result against the same exact-kNN oracle.
-    The cosine here is computed on unit-normalized vectors (the PQ
-    pipeline's invariant); cosine is scale-invariant so the rounded sim
-    matches the oracle's raw-vector cosine."""
+    The re-rank cosine is computed over RAW embeddings via `_cosine` —
+    the identical fold the oracle's list_cosine_similarity runs — so the
+    rounded sim matches bit-for-bit by construction (r11 ADVICE #5), not
+    merely within a ulp of scale-invariance."""
     index = pq_build_index(spark, sf_dir)
     if index is None:
         return spark.createDataFrame(

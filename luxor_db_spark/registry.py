@@ -37,28 +37,54 @@ def query(key: str, oracle: str | None = None):
     return deco
 
 
+# Canonical module order (mirrors SURVEY.md §2 categories). Registry
+# dict order must NOT depend on who imported an operator module first:
+# pytest collecting a test file that imports operators.llm at module
+# level registers llm's keys before scans', silently reordering the
+# driver-window rotation that `driver_coverage` derives from key order.
+# `load_all_queries` therefore rebuilds QUERIES into this fixed order —
+# identical to a fresh interpreter's natural registration order — no
+# matter the import history of the current process.
+_CANON_MODULES = (
+    "luxor_db_spark.sources.multimodal",  # §2.1 (multimodal columns)
+    "luxor_db_spark.sources.scans",  # §2.1
+    "luxor_db_spark.operators.filters",  # §2.2
+    "luxor_db_spark.operators.joins",  # §2.3
+    "luxor_db_spark.operators.aggregates",  # §2.4
+    "luxor_db_spark.operators.windows",  # §2.5
+    "luxor_db_spark.operators.timeseries",  # §2.5 ext
+    "luxor_db_spark.operators.sorts",  # §2.6
+    "luxor_db_spark.operators.setops",  # §2.7
+    "luxor_db_spark.operators.subqueries",  # §3b entry 1
+    "luxor_db_spark.operators.udfs",  # §2.10
+    "luxor_db_spark.operators.llm",  # §2.11
+    "luxor_db_spark.operators.workloads",  # composite reports
+    "luxor_db_spark.operators.graph",  # graph analytics
+    "luxor_db_spark.functions.scalar",  # §2.8
+    "luxor_db_spark.streaming.streams",  # §2.9
+)
+
+
 def load_all_queries() -> dict[str, Callable]:
-    """Import every operator module (side effect: registry population)."""
+    """Import every operator module (side effect: registry population),
+    then return the registry in CANONICAL key order (import-history-
+    invariant — see `_CANON_MODULES`)."""
     global _LOADED
     if not _LOADED:
-        # Import order mirrors SURVEY.md §2 categories.
-        from luxor_db_spark.sources import multimodal, scans  # noqa: F401  (§2.1)
-        from luxor_db_spark.operators import (  # noqa: F401
-            filters,  # §2.2
-            joins,  # §2.3
-            aggregates,  # §2.4
-            windows,  # §2.5
-            timeseries,  # §2.5 extension: retention/streak/anomaly/interp
-            sorts,  # §2.6
-            setops,  # §2.7
-            subqueries,  # §3b entry 1: SQL-path subqueries/CTEs
-            udfs,  # §2.10
-            llm,  # §2.11
-            workloads,  # composite TPC-H-shaped reports
-            graph,  # graph analytics derived from relational facts
-        )
-        from luxor_db_spark.functions import scalar  # noqa: F401  (§2.8)
-        from luxor_db_spark.streaming import streams  # noqa: F401  (§2.9)
+        import importlib
 
+        for mod in _CANON_MODULES:
+            importlib.import_module(mod)
+        # Within one module, decorator execution is top-to-bottom file
+        # order regardless of WHEN the module was first imported, so a
+        # stable sort on module rank alone reproduces the fresh-
+        # interpreter order exactly.
+        rank = {m: i for i, m in enumerate(_CANON_MODULES)}
+        ordered = sorted(
+            QUERIES.items(),
+            key=lambda kv: rank.get(kv[1].__module__, len(rank)),
+        )
+        QUERIES.clear()
+        QUERIES.update(ordered)
         _LOADED = True
     return QUERIES

@@ -564,6 +564,21 @@ def _embed_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # enough that ts = doc_id minutes stays far inside timestamp range.
 _SURVIVOR_FLUSH_ID = 2_000_000_000
 
+# Staging dirs this process created, each registered for atexit removal
+# exactly once (r11 ADVICE #3: pid-suffixed dirs are never reused by a
+# later process, so without cleanup every pytest/bench run leaves a full
+# copy of the documents table in tempdir).
+_STAGED_DIRS: set = set()
+
+
+def _register_staged_cleanup(staged: str) -> None:
+    import atexit
+    import shutil
+
+    if staged not in _STAGED_DIRS:
+        _STAGED_DIRS.add(staged)
+        atexit.register(shutil.rmtree, staged, ignore_errors=True)
+
 
 def _stage_flushed_docs(spark: SparkSession, sf_dir: str) -> str:
     """Stage (doc_id, text) + the flush sentinel as a parquet directory
@@ -586,6 +601,7 @@ def _stage_flushed_docs(spark: SparkSession, sf_dir: str) -> str:
         + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
         + f"_p{os.getpid()}",
     )
+    _register_staged_cleanup(staged)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs.write.mode("overwrite").parquet(staged)
     spark.createDataFrame(
@@ -1074,6 +1090,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     out = tempfile.mkdtemp(prefix="luxor_feb_")
+    _register_staged_cleanup(out)
     ev = stream_events(spark, sf_dir).filter(
         F.col("event_type").isin("purchase", "signup")
     )
@@ -1126,6 +1143,8 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="luxor_ckpt_src_")
     ckpt = tempfile.mkdtemp(prefix="luxor_ckpt_log_")
     out = tempfile.mkdtemp(prefix="luxor_ckpt_out_")
+    for d in (src, ckpt, out):
+        _register_staged_cleanup(d)
     from luxor_db_spark.catalog import table_path
 
     def _copy_events(stem: str) -> str:

@@ -57,6 +57,16 @@ def main(argv: list[str]) -> int:
         return statistics.median(rats) if rats else 1.0
 
     med_ratio = _median_ratio(old, new)
+    # The normalization has a blind spot (r11 ADVICE #4): a real code
+    # regression that slows MOST keys uniformly (a shared helper like
+    # load_table) is absorbed into med_ratio and reported as ~0% drift
+    # per key. When the global factor itself is large, say so loudly and
+    # point at the tool that CAN attribute it (the alternating-worktree
+    # A/B probe re-times old code on the new machine).
+    GLOBAL_SHIFT_WARN = 1.15
+    global_shift_flagged = (
+        med_ratio >= GLOBAL_SHIFT_WARN or med_ratio <= 1 / GLOBAL_SHIFT_WARN
+    )
     rows = []
     for key, cols in sorted(ledger.items()):
         a, b = cols.get(old), cols.get(new)
@@ -84,14 +94,32 @@ def main(argv: list[str]) -> int:
         f"dividing the new value by it (a global slowdown is the "
         f"machine, not the code).",
         "",
-        f"- total: {sum(r[1] for r in diffed):.1f}s ({old}) → "
-        f"{sum(r[2] for r in diffed):.1f}s ({new})",
+        f"- RAW total (no normalization): "
+        f"{sum(r[1] for r in diffed):.1f}s ({old}) → "
+        f"{sum(r[2] for r in diffed):.1f}s ({new}), raw ratio "
+        f"{sum(r[2] for r in diffed) / max(sum(r[1] for r in diffed), 1e-9):.3f}",
         f"- keys above noise floor: {len(loud)}",
         f"- worse by >25% net of machine factor (above floor): "
         f"{sum(1 for r in loud if r[3] > 25)}",
         f"- better by >25% net of machine factor (above floor): "
         f"{sum(1 for r in loud if r[3] < -25)}",
         "",
+    ]
+    if global_shift_flagged:
+        lines += [
+            f"**⚠ GLOBAL SHIFT: suite-median machine factor "
+            f"{med_ratio:.3f} is outside "
+            f"[{1 / GLOBAL_SHIFT_WARN:.2f}, {GLOBAL_SHIFT_WARN:.2f}].** "
+            f"The per-key Δ% normalization CANNOT distinguish machine "
+            f"load from a code change that slows most keys uniformly "
+            f"(a shared helper). Attribute the shift before trusting "
+            f"this table: `python tools/drift_probe.py --ab "
+            f"<{old}-end-commit> <any-expensive-key>` re-times the old "
+            f"code on today's machine — if the old code also runs "
+            f"~{med_ratio:.2f}× its {old} number, it's the machine.",
+            "",
+        ]
+    lines += [
         "Calibration (r10 drift probe, `tools/drift_probe.py`): same-code "
         "same-order quiet re-runs show ~±25-30% per-key spread at this "
         "scale, roughly symmetric. Read a SINGLE round's delta only as a "
@@ -175,6 +203,19 @@ def main(argv: list[str]) -> int:
     with open(OUT, "w") as fh:
         fh.write("\n".join(lines))
     print(f"wrote {OUT}")
+    raw_ratio = sum(r[2] for r in diffed) / max(
+        sum(r[1] for r in diffed), 1e-9
+    )
+    print(
+        f"raw total ratio {raw_ratio:.3f}, median machine factor "
+        f"{med_ratio:.3f}"
+        + (
+            " — GLOBAL SHIFT: attribute machine-vs-code with "
+            "drift_probe.py --ab before trusting per-key deltas"
+            if global_shift_flagged
+            else ""
+        )
+    )
     for key, a, b, pct in worst[:10]:
         print(f"{key}: {a}s -> {b}s ({pct:+.0f}%)")
     for key, pp, a, b in queue:
