@@ -159,6 +159,23 @@ def run_ab(keys: list[str], old_ref: str, rounds: int = 4) -> int:
             ["git", "worktree", "add", "--detach", "--force", wt, old_ref],
             cwd=REPO, check=True,
         )
+    # The worktree is a full self-copy of the package (~35k LoC on
+    # disk); left behind it corrupts any LoC/audit sweep of the tree
+    # (r11 verdict wrong #2). Remove it when the probe exits, however
+    # it exits.
+    import atexit
+
+    def _cleanup_worktree(path=wt):
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", path],
+            cwd=REPO,
+            check=False,
+        )
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+    atexit.register(_cleanup_worktree)
     for key in keys:
         old_s, new_s = [], []
         for r in range(rounds):

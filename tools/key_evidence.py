@@ -28,6 +28,12 @@ Usage:
                                               # (run at snapshot time: the saved
                                               # list is what the post-round audit
                                               # compares CORRECTNESS_r6 against)
+    python tools/key_evidence.py --assert-head
+        # exit 1 unless the ledger's recorded HEAD equals the current HEAD
+        # and the source tree is clean — the r11 verdict's cheap insurance
+        # that the end-of-round evidence sweep actually ran at the round's
+        # last source commit (a sweep followed by "one more fix" silently
+        # invalidates the evidence it just wrote).
 """
 
 from __future__ import annotations
@@ -122,7 +128,53 @@ def stale_keys(evidence: dict[str, dict] | None = None) -> list[str]:
     return stale
 
 
+# Paths whose uncommitted changes invalidate an evidence sweep: anything
+# that alters what the driver would execute or how keys hash.
+_SOURCE_PATHS = (
+    "luxor_db_spark",
+    "__spark_entry__.py",
+    "bench.py",
+)
+
+
+def _head_state() -> dict:
+    head = _git("rev-parse", "HEAD").strip()
+    dirty = bool(
+        _git("status", "--porcelain", "--", *_SOURCE_PATHS).strip()
+    )
+    return {"head_sha": head, "source_dirty": dirty}
+
+
+def assert_head() -> int:
+    """Fail unless the ledger was built at the CURRENT HEAD with a clean
+    source tree (r11 verdict ask #8)."""
+    evidence = json.loads(EVIDENCE_PATH.read_text())
+    meta = evidence.get("_meta")
+    if not meta:
+        print("FAIL: ledger has no _meta block (rebuild it)", file=sys.stderr)
+        return 1
+    now = _head_state()
+    problems = []
+    if meta.get("head_sha") != now["head_sha"]:
+        problems.append(
+            f"ledger built at {meta.get('head_sha', '?')[:12]} but HEAD is "
+            f"{now['head_sha'][:12]} — source moved after the sweep"
+        )
+    if meta.get("source_dirty"):
+        problems.append("ledger was built with uncommitted source changes")
+    if now["source_dirty"]:
+        problems.append("source tree is dirty NOW — commit before asserting")
+    if problems:
+        for p in problems:
+            print(f"FAIL: {p}", file=sys.stderr)
+        return 1
+    print(f"OK: evidence ledger is pinned to HEAD {now['head_sha'][:12]}")
+    return 0
+
+
 def main(argv: list[str]) -> int:
+    if "--assert-head" in argv:
+        return assert_head()
     if "--stale" in argv:
         s = stale_keys()
         print(json.dumps(s, indent=1))
@@ -142,12 +194,24 @@ def main(argv: list[str]) -> int:
         print(f"wrote {path} ({len(window)} keys)")
         return 0
     evidence = build_evidence()
+    head = _head_state()
+    if head["source_dirty"]:
+        print(
+            "WARNING: building evidence ledger with uncommitted source "
+            "changes — --assert-head will fail until the sweep is re-run "
+            "at a clean commit",
+            file=sys.stderr,
+        )
+    evidence["_meta"] = head
     EVIDENCE_PATH.write_text(json.dumps(evidence, indent=1, sort_keys=True) + "\n")
     s = stale_keys(evidence)
+    rows = {k: v for k, v in evidence.items() if k != "_meta"}
     print(
-        f"wrote {EVIDENCE_PATH} ({len(evidence)} keys, "
-        f"{sum(1 for v in evidence.values() if v['hash_at_green'] is None)} "
-        f"unresolved hashes, {len(s)} currently stale)"
+        f"wrote {EVIDENCE_PATH} ({len(rows)} keys, "
+        f"{sum(1 for v in rows.values() if v['hash_at_green'] is None)} "
+        f"unresolved hashes, {len(s)} currently stale, "
+        f"head {head['head_sha'][:12]}"
+        f"{' DIRTY' if head['source_dirty'] else ''})"
     )
     if s:
         print("stale:", " ".join(s))
