@@ -40,7 +40,6 @@ HEADLINE = [
     "win_topk_group",
     "sort_multi",
     "set_except_all",
-    "fn_string",
     "fn_array_hof",
     "udf_pandas",
     "llm_dedup_exact",
@@ -56,7 +55,6 @@ HEADLINE = [
     "query_q3",
     "query_q18",
     "query_q21",
-    "set_intersect_all",
     "agg_approx_percentile",
     "stream_tumbling",
     "stream_stateful",
@@ -96,6 +94,14 @@ HEADLINE = [
     # round 10 addition: the deduped-STREAM composition (outer join
     # chained into a windowed agg — multi-stateful append mode)
     "stream_dedup_survivors",
+    # round 12 swap (r11 verdict ask #2): the registry's two heaviest
+    # keys had zero sf0.1 bench history. They replace the two redundant
+    # sub-second keys fn_string (fn_array_hof still covers §2.8) and
+    # set_intersect_all (set_except_all still covers §2.7), keeping the
+    # set at 50 — the cross-round total is comparable on the shared
+    # 48-key intersection.
+    "stream_chunk_dedup",
+    "stream_embed_dedup",
 ]
 
 
@@ -104,21 +110,31 @@ def drain(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or 0
 
 
-# Quiet-machine gate (r6 verdict #7): the r6 recorded bench ran at load
-# 4.59 and produced 4 phantom regressions that cost a re-measure session.
-# Above this 1-min load average the harness first waits for quiesce, and
-# if the machine never settles it self-flags the output as noisy.
+# Quiet-machine gate (r6 verdict #7, ENFORCED r12 per the r11 verdict):
+# the r6 recorded bench ran at load 4.59 and produced 4 phantom
+# regressions; r11's ran at load 1.83→26.89 and contaminated all 50
+# numbers. The harness now (a) waits up to QUIESCE_WAIT_S for the 1-min
+# load to drop under LOAD_MAX before measuring, and (b) if it HAD to
+# start noisy, re-arms the gate after the pass and RE-RUNS the whole
+# suite when the machine settles, publishing the quiet pass — a noisy
+# artifact is published only when the machine never quiesced inside
+# both bounded waits, and it stays self-flagged.
 LOAD_MAX = float(os.environ.get("LUXOR_BENCH_LOAD_MAX", "1.5"))
-QUIESCE_WAIT_S = int(os.environ.get("LUXOR_BENCH_QUIESCE_WAIT", "120"))
+QUIESCE_WAIT_S = int(os.environ.get("LUXOR_BENCH_QUIESCE_WAIT", "600"))
+# Second-chance wait re-armed AFTER a noisy first pass. Shorter: the
+# first pass itself took minutes, so transient load has had time to
+# drain; this bound only covers the loadavg decay of our own run plus
+# a little margin.
+RETRY_WAIT_S = int(os.environ.get("LUXOR_BENCH_RETRY_WAIT", "300"))
 
 
-def _await_quiet() -> tuple[float, str]:
-    """Wait up to QUIESCE_WAIT_S for the 1-min load to drop under
+def _await_quiet(budget_s: int) -> tuple[float, str]:
+    """Wait up to ``budget_s`` for the 1-min load to drop under
     LOAD_MAX; return (load_at_start_of_suite, gate_status)."""
     load = os.getloadavg()[0]
     if load <= LOAD_MAX:
         return round(load, 2), "quiet"
-    deadline = time.monotonic() + QUIESCE_WAIT_S
+    deadline = time.monotonic() + budget_s
     while time.monotonic() < deadline:
         # never sleep past the deadline, so the final sample below is
         # taken AT suite start, not up to one poll interval before it
@@ -130,14 +146,7 @@ def _await_quiet() -> tuple[float, str]:
     return round(os.getloadavg()[0], 2), "noisy"
 
 
-def main() -> None:
-    queries = load_all_queries()
-    keys = [k for k in HEADLINE if k in queries]
-    load_before, load_gate = _await_quiet()
-    spark = get_spark(app_name="luxor-db-spark-bench")
-    # Warm the JVM + parquet footers with the cheapest key.
-    queries[keys[0]](spark, SF_DIR).count()
-
+def _run_suite(spark, queries, keys: list[str]) -> dict[str, float]:
     timings: dict[str, float] = {}
     for key in keys:
         samples = []
@@ -147,6 +156,30 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[key] = round(statistics.median(samples), 3)
+    return timings
+
+
+def main() -> None:
+    queries = load_all_queries()
+    keys = [k for k in HEADLINE if k in queries]
+    load_before, load_gate = _await_quiet(QUIESCE_WAIT_S)
+    spark = get_spark(app_name="luxor-db-spark-bench")
+    # Warm the JVM + parquet footers with the cheapest key.
+    queries[keys[0]](spark, SF_DIR).count()
+
+    passes = 1
+    timings = _run_suite(spark, queries, keys)
+    if load_gate == "noisy":
+        # First pass ran on a loaded machine — every number in it is
+        # suspect (r11). Re-arm the gate; if the machine settles inside
+        # the bounded retry wait, the quiet second pass replaces the
+        # noisy one wholesale (medians from different load regimes must
+        # not be mixed).
+        load_retry, gate_retry = _await_quiet(RETRY_WAIT_S)
+        if gate_retry != "noisy":
+            load_before, load_gate = load_retry, "quiet_retry"
+            timings = _run_suite(spark, queries, keys)
+            passes = 2
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -171,11 +204,14 @@ def main() -> None:
                 "runs_per_query": RUNS,
                 "load_avg_before": load_before,
                 "load_avg_after": round(os.getloadavg()[0], 2),
-                # "quiet" / "quiet_after_wait" / "noisy": whether the
-                # quiet-machine gate (load <= LUXOR_BENCH_LOAD_MAX before
-                # start, waiting up to LUXOR_BENCH_QUIESCE_WAIT s) held.
-                # "noisy" runs are NOT comparable across rounds.
+                # "quiet" / "quiet_after_wait" / "quiet_retry" / "noisy":
+                # whether the quiet-machine gate (load <=
+                # LUXOR_BENCH_LOAD_MAX, waiting up to
+                # LUXOR_BENCH_QUIESCE_WAIT s, with one bounded re-run
+                # pass after a noisy start) held. "noisy" runs are NOT
+                # comparable across rounds.
                 "load_gate": load_gate,
+                "bench_passes": passes,
                 "n_cpus": os.cpu_count(),
             }
         )
