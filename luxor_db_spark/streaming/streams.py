@@ -89,6 +89,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+# Per-key stats of the LAST completed drain (r11 verdict task 3): a
+# finite-replay streaming key's wall time is ≈ n_batches × per-batch
+# commit overhead + data work, so cross-run timing comparisons are only
+# meaningful at a PINNED micro-batch count — tools/strong_scale.py and
+# the drift probes read this after each run to normalize, and to verify
+# the pin held. state_rows_total is the summed numRowsTotal across
+# stateful operators at the last progress — the "state scales with
+# cores, not corpus" evidence for the streaming dedup family.
+LAST_DRAIN_STATS: dict[str, dict] = {}
+
+
 def _drain(df: DataFrame, key: str, mode: str) -> DataFrame:
     """Run a streaming query to completion into a memory sink; return it."""
     name = f"luxor_{key}_{next(_SINK_IDS)}"
@@ -100,6 +111,30 @@ def _drain(df: DataFrame, key: str, mode: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        try:
+            prog = q.recentProgress
+            stats: dict = {"n_batches": 0, "state_rows_total": None}
+            if prog:
+                stats["n_batches"] = (
+                    max(int(p["batchId"]) for p in prog) + 1
+                )
+                last_state = next(
+                    (
+                        p
+                        for p in reversed(prog)
+                        if p.get("stateOperators")
+                    ),
+                    None,
+                )
+                if last_state is not None:
+                    stats["state_rows_total"] = sum(
+                        int(op.get("numRowsTotal", 0) or 0)
+                        for op in last_state["stateOperators"]
+                    )
+            LAST_DRAIN_STATS[key] = stats
+        except Exception:
+            # Stats are telemetry; never fail the query over them.
+            pass
     finally:
         q.stop()
     return df.sparkSession.table(name)

@@ -760,3 +760,76 @@ def test_chunk_dedup_keep_first_semantics(spark, tmp_path):
     assert rows[0] == (2, 2, 1.0)
     assert rows[1] == (2, 1, 0.5)
     assert rows[2] == (2, 0, 0.0)
+
+
+# --- IVF tier-crossover pins at amplified N (r11 verdict ask #4) -----------
+#
+# The fixture corpora (500-2 000 vectors) always land in tier 16, so the
+# 256-cell tier — the schedule's own design point — was never exercised.
+# `tools.ann_recall.build_embeddings_amplified` builds a 4 500-vector
+# corpus (factor 9 × the 500-vector base, past the 4 096 boundary) of
+# deterministic tight clusters: copy c of vector v is v + 0.02·hash-noise,
+# within-cluster cosine ≈ 0.9999 — the CLUSTERED regime IVF assumes, so
+# recall at the tier default is meaningfully pin-able (on the isotropic
+# base recall just tracks scan fraction, which is a cost pin, not a
+# quality pin).
+
+
+@pytest.fixture(scope="module")
+def amplified_tier256(spark, sf_dir, tmp_path_factory):
+    """(amp_dir, ivf_index, truth) on the 4 500-vector clustered corpus;
+    built once — two KMeans fits are the expensive part of this module."""
+    from tools.ann_recall import build_embeddings_amplified, exact_top5
+    from luxor_db_spark.operators.llm import ivf_build_index
+
+    amp = build_embeddings_amplified(
+        spark, sf_dir, 9, str(tmp_path_factory.mktemp("embx9"))
+    )
+    idx = ivf_build_index(spark, amp)  # ncells=None → auto-tier
+    truth = exact_top5(spark, amp)
+    return amp, idx, truth
+
+
+def test_ivf_tier256_resolution_and_recall(spark, amplified_tier256):
+    """Auto-tiering must resolve 4 500 vectors to the 256-cell tier with
+    its schedule default nprobe=32; at that default the probe must route
+    every query to its own cluster's cell (recall@5 ≥ 0.9 — measured
+    1.0: all five true neighbors are the query's ~0.9999-cosine copies,
+    co-located by the quantizer), while scanning ≤ 35% of the corpus
+    (nprobe/ncells = 12.5% nominal, slack for cluster-sized cells).
+    Catches: a broken second tier probe (mis-tiering to 16), a tier
+    default drift, or a quantizer regression that splits clusters."""
+    from luxor_db_spark.operators.llm import ivf_query, ivf_scan_stats
+
+    amp, idx, truth = amplified_tier256
+    assert (idx.ncells, idx.nprobe_default) == (256, 32)
+    assert len(truth) == 50
+    got = {
+        (r.q_id, r.nb_id)
+        for r in ivf_query(idx).select("q_id", "nb_id").collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"tier-256 default recall collapsed: {recall}"
+    stats = ivf_scan_stats(idx)
+    assert stats["ncells"] == 256
+    assert stats["scanned_fraction"] <= 0.35, stats
+
+
+def test_ivfpq_tier256_recall(spark, amplified_tier256):
+    """The PQ path rides the same auto-tiered coarse grid: at 4 500
+    vectors pq_build_index must inherit tier 256, and the ADC-shortlist
+    → exact-re-rank serving path must keep recall@5 ≥ 0.8 at the
+    defaults (the cluster copies' codes are near-identical to the
+    query's, so a shortlist that loses them means the ADC fold or the
+    re-rank fetch broke at this tier, not quantization noise)."""
+    from luxor_db_spark.operators.llm import pq_build_index, pq_query
+
+    amp, idx, truth = amplified_tier256
+    pq = pq_build_index(spark, amp)
+    assert pq.ivf.ncells == 256
+    got = {
+        (r.q_id, r.nb_id)
+        for r in pq_query(pq).select("q_id", "nb_id").collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"tier-256 PQ recall collapsed: {recall}"

@@ -24,6 +24,18 @@ MEASURED scanned fraction next to recall — the knee readout per tier
 (on the isotropic fixture recall ≈ scanned fraction, so the fraction
 falling as the tier rises is exactly the cost the tiering buys).
 
+r12: ``--amplify F`` exercises the AUTO-TIER crossovers at an N that
+actually triggers them (r11 verdict ask #4: the fixture always lands in
+tier 16, so tiers 256/4096 were untested at their own design points).
+The amplifier builds an N = F×|base| corpus of DETERMINISTIC tight
+clusters: copy c of vector v is v + eps·u(vec_id, i, c) with u a hash
+noise in [-1, 1] and eps small — every original vector becomes an
+F-member cluster at cosine ≈ 0.999+. This is the CLUSTERED regime IVF
+is designed for (the isotropic fixture is its worst case), so recall at
+the tier-default nprobe is meaningfully high and pin-able, while the
+scan fraction shows the tier schedule's cost win. Copy 0 is bit-exact
+the base corpus, so the 10 query vectors stay the fixture's own.
+
 Usage:
     python tools/ann_recall.py                   # sf0.01, nprobe 2,4,8,12
     python tools/ann_recall.py --sf <dir> --nprobe 2,8
@@ -31,6 +43,10 @@ Usage:
     python tools/ann_recall.py --pq --refine 1,4,8   # IVF-PQ: recall +
                                                      # ADC error, both
                                                      # residual forms
+    python tools/ann_recall.py --amplify 9           # auto-tier readout
+        # (+ --pq for the PQ path) on the amplified corpus; factor 9 on
+        # the 500-vector base crosses the 4 096 boundary into tier 256,
+        # factor 2100+ crosses 2^20 into tier 4096
 
 Prints one JSON line per nprobe (or per tier) and a summary line.
 """
@@ -51,6 +67,66 @@ from pyspark.sql.functions import broadcast  # noqa: E402
 from luxor_db_spark.catalog import load_table  # noqa: E402
 from luxor_db_spark.operators.llm import _cosine, llm_ann_ivf  # noqa: E402
 from luxor_db_spark.session import get_spark  # noqa: E402
+
+
+# Copy-id stride for amplified vec_ids: originals keep vec_id < 10 as
+# the query set; copies start at 10M so they can never collide with (or
+# shadow) a base id at any realistic base size or factor.
+_AMP_STRIDE = 10_000_000
+
+
+def build_embeddings_amplified(
+    spark,
+    base_dir: str,
+    factor: int,
+    out_dir: str,
+    eps: float = 0.02,
+) -> str:
+    """Write an embeddings-only fixture dir with N = factor×|base|
+    vectors arranged in deterministic tight clusters (see module doc).
+
+    eps=0.02 puts within-cluster cosine ≈ 0.9999 (noise norm² ≈
+    eps²·dim/3 ≈ 0.0085 against |v|² ≈ dim), far above any cross-cluster
+    similarity on the near-isotropic base — the truth top-k of a base
+    query is its own copies, so recall measures whether the coarse
+    quantizer + probe actually route a query to its cluster's cell(s).
+    Deterministic: xxhash64 noise over (vec_id, element index, copy) —
+    no RNG, stable across runs and partitionings."""
+    import os as _os
+
+    marker = _os.path.join(out_dir, "_COMPLETE")
+    if _os.path.exists(marker):
+        return out_dir
+    e = load_table(spark, base_dir, "embeddings")
+    c = F.col("c")
+    amp = (
+        e.crossJoin(
+            broadcast(
+                e.sparkSession.range(factor).select(
+                    F.col("id").cast("int").alias("c")
+                )
+            )
+        )
+        .withColumn(
+            "vec_id", (F.col("vec_id") + c.cast("long") * _AMP_STRIDE)
+        )
+        .withColumn(
+            "embedding",
+            F.expr(
+                f"transform(embedding, (x, i) -> CAST(x + "
+                f"IF(c = 0, CAST(0.0 AS DOUBLE), {eps} * "
+                f"(CAST(xxhash64(vec_id, i, c) % 1000 AS DOUBLE) "
+                f"/ 1000.0)) AS FLOAT))"
+            ),
+        )
+        .drop("c")
+    )
+    amp.write.mode("overwrite").parquet(
+        _os.path.join(out_dir, "embeddings.parquet")
+    )
+    with open(marker, "w") as fh:
+        fh.write(f"factor={factor} base={base_dir} eps={eps}\n")
+    return out_dir
 
 
 def exact_top5(spark, sf_dir: str) -> set[tuple[int, int]]:
@@ -95,6 +171,62 @@ def main(argv: list[str]) -> int:
         tiers = [int(x) for x in argv[i + 1].split(",")]
 
     spark = get_spark(app_name="luxor-db-spark-ann-recall")
+
+    if "--amplify" in argv:
+        factor = int(argv[argv.index("--amplify") + 1])
+        from luxor_db_spark.operators.llm import (
+            ivf_build_index,
+            ivf_query,
+            ivf_scan_stats,
+        )
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = os.path.join(repo, "tmp", "scale", f"emb_x{factor}")
+        sf_dir = build_embeddings_amplified(spark, sf_dir, factor, out)
+        truth = exact_top5(spark, sf_dir)
+        t0 = time.perf_counter()
+        idx = ivf_build_index(spark, sf_dir)  # ncells=None: AUTO-TIER
+        build_s = round(time.perf_counter() - t0, 2)
+        stats = ivf_scan_stats(idx)
+
+        def _recall_ivf(nprobe):
+            got = {
+                (r.q_id, r.nb_id)
+                for r in ivf_query(idx, nprobe=nprobe)
+                .select("q_id", "nb_id")
+                .collect()
+            }
+            return round(len(truth & got) / len(truth), 4)
+
+        row = {
+            "summary": "ann_recall_amplified",
+            "factor": factor,
+            "n_vectors": stats["brute_force_pairs"] // 10,
+            "resolved_ncells": idx.ncells,
+            "resolved_nprobe": idx.nprobe_default,
+            "build_s": build_s,
+            "scanned_fraction": stats["scanned_fraction"],
+            "recall_at_5_default": _recall_ivf(idx.nprobe_default),
+            "recall_at_5_2x": _recall_ivf(
+                min(2 * idx.nprobe_default, idx.ncells)
+            ),
+        }
+        if "--pq" in argv:
+            from luxor_db_spark.operators.llm import pq_build_index, pq_query
+
+            t0 = time.perf_counter()
+            pq = pq_build_index(spark, sf_dir)
+            row["pq_build_s"] = round(time.perf_counter() - t0, 2)
+            got = {
+                (r.q_id, r.nb_id)
+                for r in pq_query(pq).select("q_id", "nb_id").collect()
+            }
+            row["pq_recall_at_5_default"] = round(
+                len(truth & got) / len(truth), 4
+            )
+        print(json.dumps(row))
+        return 0
+
     truth = exact_top5(spark, sf_dir)
 
     if tiers is not None:

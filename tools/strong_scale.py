@@ -81,9 +81,11 @@ EXPECTED_FLAT = {
         "doubled: TWO stateful operators (outer join + windowed agg) "
         "each commit shuffle.partitions state stores per micro-batch, "
         "plus the driver-side fixture staging (~1 s); the x16 data "
-        "term is small next to that (measured 13.5 s @4 -> 16.9 s "
-        "@32 - state-store commit count GROWS with cores while the "
-        "per-store work shrinks to nothing at fixture scale)"
+        "term is small next to that (r12 batch-normalized run: 24.0 s "
+        "@4 -> 15.3 s @32 at a pinned 2 micro-batches, 1.56x - the "
+        "band-join work does spread across cores but the commit "
+        "fan-out eats the rest; end-state 8 rows at every core count, "
+        "so watermark cleanup holds)"
     ),
     "stream_embed_dedup": (
         "streaming fixed overhead in its purest form: the x16 corpus "
@@ -93,6 +95,26 @@ EXPECTED_FLAT = {
         "ingest volume the work term dominates and the (blk, epoch) "
         "key spreads it across all stores; the data-scaling curve "
         "(slope -0.02 to x16) is the relevant axis for this key"
+    ),
+    "stream_chunk_dedup": (
+        "same streaming fixed-overhead class as stream_embed_dedup, "
+        "with TWO stateful operators: per-batch wall is ~2C state-store "
+        "commits while the x16 chunk-join work is microseconds per "
+        "partition - measured INVERSE 8.1 s @4 -> 14.2 s @32 at a "
+        "PINNED 2 micro-batches, end-state 2 rows at every core count "
+        "(watermark cleanup holds; r12 batch-normalized run). The "
+        "data-scaling curve (sf0.001 -> sf0.1 at flat wall, SCALE.md "
+        "r11) is the relevant axis"
+    ),
+    "stream_stream_join": (
+        "same fixed-overhead class: one stateful join over the 7k-row "
+        "x16 replay leaves ~1 392 state rows and microseconds of "
+        "per-partition probe work, so wall is the C-proportional "
+        "commit fan-out - measured INVERSE 4.1 s @4 -> 9.1 s @32 at a "
+        "PINNED 2 micro-batches (r12). This batch-normalized row is "
+        "the control metric the r11 ledger-noise verdict lacked: any "
+        "future cross-round drift must exceed what commit fan-out "
+        "alone predicts before it counts as code regression"
     ),
     "llm_ann_ivfpq": (
         "dominated by quantizer TRAINING, which is bounded-size BY "
@@ -134,10 +156,18 @@ DEFAULT_KEYS = [
 
 
 def worker(master: str, sf_dir: str, keys: list[str]) -> int:
-    """Child process: one session at the requested core count, time keys."""
+    """Child process: one session at the requested core count, time keys.
+
+    Streaming keys additionally report the LAST_DRAIN_STATS of each run
+    (micro-batch count + total state rows): a finite-replay streaming
+    key's wall time is ≈ n_batches × per-batch commit cost + data work,
+    so a cross-core (or cross-round) comparison is only a measurement
+    when n_batches is PINNED — the parent flags any key whose batch
+    count differs across arms (r11 verdict task 3)."""
     cores = master.split("[")[1].rstrip("]")
     from luxor_db_spark.registry import load_all_queries
     from luxor_db_spark.session import get_spark
+    from luxor_db_spark.streaming import streams as _streams
 
     queries = load_all_queries()
     spark = get_spark(
@@ -151,14 +181,29 @@ def worker(master: str, sf_dir: str, keys: list[str]) -> int:
     ).save()
     out = {}
     for key in keys:
-        samples = []
+        samples, batch_counts, state_rows = [], [], []
         for _ in range(RUNS):
+            _streams.LAST_DRAIN_STATS.pop(key, None)
             t0 = time.perf_counter()
             queries[key](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             samples.append(time.perf_counter() - t0)
-        out[key] = round(statistics.median(samples), 3)
+            stats = _streams.LAST_DRAIN_STATS.get(key)
+            if stats is not None:
+                batch_counts.append(stats.get("n_batches"))
+                state_rows.append(stats.get("state_rows_total"))
+        row = {"s": round(statistics.median(samples), 3)}
+        if batch_counts:
+            row["n_batches"] = (
+                batch_counts[0]
+                if len(set(batch_counts)) == 1
+                else batch_counts  # unpinned across runs: report all
+            )
+            sr = [r for r in state_rows if r is not None]
+            if sr:
+                row["state_rows"] = max(sr)
+        out[key] = row
     print("WORKER_RESULT " + json.dumps(out), flush=True)
     return 0
 
@@ -256,9 +301,17 @@ def main(argv: list[str]) -> int:
 
     lo, hi = cores[0], cores[-1]
     flagged = []
+    batch_unpinned = []
     results = {}
     for key in keys:
-        times = {c: per_cores[c][key] for c in cores}
+        rows = {c: per_cores[c][key] for c in cores}
+        # Workers historically emitted bare floats; current ones emit
+        # {"s": ..., "n_batches": ...}. Accept both so --merge over an
+        # old ledger keeps working.
+        times = {
+            c: (r["s"] if isinstance(r, dict) else r)
+            for c, r in rows.items()
+        }
         speedup = round(times[lo] / max(times[hi], 1e-6), 2)
         flat = speedup < SPEEDUP_FLAG and times[hi] >= T_MIN
         if flat and key not in EXPECTED_FLAT:
@@ -268,6 +321,35 @@ def main(argv: list[str]) -> int:
             "speedup": speedup,
             "flag": flat,
         }
+        nb = {
+            c: r.get("n_batches")
+            for c, r in rows.items()
+            if isinstance(r, dict) and r.get("n_batches") is not None
+        }
+        if nb:
+            # ints only when pinned within a worker; a list means the
+            # count varied across RUNS inside one arm — also unpinned.
+            pinned = all(isinstance(v, int) for v in nb.values()) and (
+                len({v for v in nb.values()}) == 1
+            )
+            results[key]["n_batches"] = {str(c): v for c, v in nb.items()}
+            results[key]["batch_pinned"] = pinned
+            if pinned:
+                b = next(iter(nb.values()))
+                results[key]["s_per_batch"] = {
+                    str(c): round(t / b, 3) for c, t in times.items()
+                }
+            else:
+                batch_unpinned.append(key)
+            sr = {
+                c: r.get("state_rows")
+                for c, r in rows.items()
+                if isinstance(r, dict) and r.get("state_rows") is not None
+            }
+            if sr:
+                results[key]["state_rows"] = {
+                    str(c): v for c, v in sr.items()
+                }
         print(json.dumps({"key": key, **results[key]}), flush=True)
 
     summary = {
@@ -282,6 +364,10 @@ def main(argv: list[str]) -> int:
         "expected_flat": sorted(
             k for k in keys if k in EXPECTED_FLAT and results[k]["flag"]
         ),
+        # Streaming keys whose micro-batch count varied across arms:
+        # their times_s rows compare scheduling overhead, not code, and
+        # must not feed cross-round regression verdicts.
+        "batch_unpinned": batch_unpinned,
     }
     print(json.dumps(summary))
     if ledger_path:
