@@ -515,21 +515,25 @@ def test_bench_quiet_gate_states(monkeypatch):
     import bench
 
     monkeypatch.setattr(bench, "LOAD_MAX", 1.5)
-    monkeypatch.setattr(bench, "QUIESCE_WAIT_S", 1)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
 
     monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.4, 0, 0))
-    assert bench._await_quiet() == (0.4, "quiet")
+    assert bench._await_quiet(1) == (0.4, "quiet")
 
     loads = iter([4.0, 0.9])
     monkeypatch.setattr(
         bench.os, "getloadavg", lambda: (next(loads, 0.9), 0, 0)
     )
-    assert bench._await_quiet() == (0.9, "quiet_after_wait")
+    assert bench._await_quiet(1) == (0.9, "quiet_after_wait")
 
     monkeypatch.setattr(bench.os, "getloadavg", lambda: (7.3, 0, 0))
-    load, gate = bench._await_quiet()
+    load, gate = bench._await_quiet(1)
     assert gate == "noisy" and load == 7.3
+
+    # r12: the wait budget is a PARAMETER (main passes QUIESCE_WAIT_S
+    # for the first pass and RETRY_WAIT_S for the post-noisy re-arm);
+    # a zero budget on a loaded machine must return noisy immediately.
+    assert bench._await_quiet(0) == (7.3, "noisy")
 
 
 def test_profile_any_table_single_scan(eng):
