@@ -121,7 +121,11 @@ def build_embeddings_amplified(
         )
         .drop("c")
     )
-    amp.write.mode("overwrite").parquet(
+    # Balanced part files: the base table is one tiny file, so without a
+    # repartition the crossJoin amplification lands in 1-2 huge row
+    # groups and every downstream pass (KMeans most of all) drags a
+    # 2-task straggler tail.
+    amp.repartition(32).write.mode("overwrite").parquet(
         _os.path.join(out_dir, "embeddings.parquet")
     )
     with open(marker, "w") as fh:
@@ -175,29 +179,89 @@ def main(argv: list[str]) -> int:
     if "--amplify" in argv:
         factor = int(argv[argv.index("--amplify") + 1])
         from luxor_db_spark.operators.llm import (
+            _cosine as _cos,
             ivf_build_index,
             ivf_query,
             ivf_scan_stats,
         )
+        from pyspark.sql import Window as W
 
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         out = os.path.join(repo, "tmp", "scale", f"emb_x{factor}")
         sf_dir = build_embeddings_amplified(spark, sf_dir, factor, out)
         truth = exact_top5(spark, sf_dir)
+
+        # Tie-aware recall@5 (the honest metric on this corpus): every
+        # query has factor-1 copies whose exact cosines collide at the
+        # 4-decimal rounding, so the id-matched truth set is one
+        # arbitrary vec_id-tie-broken pick among thousands of exact
+        # equivalents — a bounded-shortlist path (PQ) legitimately
+        # returns a DIFFERENT equally-good subset and strict recall
+        # reads ~0 while answer quality is perfect. Standard fix: a
+        # returned neighbor is correct iff its exact rounded sim ≥ the
+        # query's 5th-best rounded sim.
+        e_amp = load_table(spark, sf_dir, "embeddings")
+        q10 = e_amp.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        )
+        sc_all = (
+            e_amp.crossJoin(broadcast(q10))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .withColumn(
+                "sim", F.round(_cos(F.col("qv"), F.col("embedding")), 4)
+            )
+        )
+        w5 = W.partitionBy("q_id").orderBy(
+            F.col("sim").desc(), F.col("vec_id")
+        )
+        thr = {
+            r.q_id: r.sim
+            for r in sc_all.withColumn("rn", F.row_number().over(w5))
+            .filter(F.col("rn") == 5)
+            .select("q_id", "sim")
+            .collect()
+        }
+
+        def _tie_recall(got: set) -> float:
+            if not got:
+                return 0.0
+            pairs = spark.createDataFrame(
+                list(got), "q_id bigint, nb_id bigint"
+            )
+            sims = (
+                e_amp.join(
+                    broadcast(pairs),
+                    F.col("vec_id") == F.col("nb_id"),
+                )
+                .select("q_id", "nb_id", F.col("embedding").alias("nv"))
+                .join(
+                    broadcast(
+                        q10.select("q_id", F.col("qv").alias("qemb"))
+                    ),
+                    "q_id",
+                )
+                .withColumn(
+                    "sim", F.round(_cos(F.col("qemb"), F.col("nv")), 4)
+                )
+                .collect()
+            )
+            ok = sum(1 for r in sims if r.sim >= thr[r.q_id])
+            return round(ok / (5 * len(thr)), 4)
         t0 = time.perf_counter()
         idx = ivf_build_index(spark, sf_dir)  # ncells=None: AUTO-TIER
         build_s = round(time.perf_counter() - t0, 2)
         stats = ivf_scan_stats(idx)
 
-        def _recall_ivf(nprobe):
-            got = {
+        def _got_ivf(nprobe):
+            return {
                 (r.q_id, r.nb_id)
                 for r in ivf_query(idx, nprobe=nprobe)
                 .select("q_id", "nb_id")
                 .collect()
             }
-            return round(len(truth & got) / len(truth), 4)
 
+        got_default = _got_ivf(idx.nprobe_default)
+        got_2x = _got_ivf(min(2 * idx.nprobe_default, idx.ncells))
         row = {
             "summary": "ann_recall_amplified",
             "factor": factor,
@@ -206,10 +270,11 @@ def main(argv: list[str]) -> int:
             "resolved_nprobe": idx.nprobe_default,
             "build_s": build_s,
             "scanned_fraction": stats["scanned_fraction"],
-            "recall_at_5_default": _recall_ivf(idx.nprobe_default),
-            "recall_at_5_2x": _recall_ivf(
-                min(2 * idx.nprobe_default, idx.ncells)
+            "recall_at_5_default": round(
+                len(truth & got_default) / len(truth), 4
             ),
+            "recall_at_5_default_tie_aware": _tie_recall(got_default),
+            "recall_at_5_2x": round(len(truth & got_2x) / len(truth), 4),
         }
         if "--pq" in argv:
             from luxor_db_spark.operators.llm import pq_build_index, pq_query
@@ -224,6 +289,7 @@ def main(argv: list[str]) -> int:
             row["pq_recall_at_5_default"] = round(
                 len(truth & got) / len(truth), 4
             )
+            row["pq_recall_at_5_tie_aware"] = _tie_recall(got)
         print(json.dumps(row))
         return 0
 
