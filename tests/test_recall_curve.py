@@ -768,8 +768,9 @@ def test_chunk_dedup_keep_first_semantics(spark, tmp_path):
 # 256-cell tier — the schedule's own design point — was never exercised.
 # `tools.ann_recall.build_embeddings_amplified` builds a 4 500-vector
 # corpus (factor 9 × the 500-vector base, past the 4 096 boundary) of
-# deterministic tight clusters: copy c of vector v is v + 0.02·hash-noise,
-# within-cluster cosine ≈ 0.9999 — the CLUSTERED regime IVF assumes, so
+# deterministic tight clusters: copy c of vector v is v + 0.002·hash-noise
+# (the base is unit-norm, so within-cluster cosine ≈ 0.99996 — every copy
+# rounds to 1.0 at the sim grain) — the CLUSTERED regime IVF assumes, so
 # recall at the tier default is meaningfully pin-able (on the isotropic
 # base recall just tracks scan fraction, which is a cost pin, not a
 # quality pin).

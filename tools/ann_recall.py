@@ -30,7 +30,7 @@ tier 16, so tiers 256/4096 were untested at their own design points).
 The amplifier builds an N = F×|base| corpus of DETERMINISTIC tight
 clusters: copy c of vector v is v + eps·u(vec_id, i, c) with u a hash
 noise in [-1, 1] and eps small — every original vector becomes an
-F-member cluster at cosine ≈ 0.999+. This is the CLUSTERED regime IVF
+F-member cluster at cosine ≈ 0.99996. This is the CLUSTERED regime IVF
 is designed for (the isotropic fixture is its worst case), so recall at
 the tier-default nprobe is meaningfully high and pin-able, while the
 scan fraction shows the tier schedule's cost win. Copy 0 is bit-exact
@@ -80,18 +80,26 @@ def build_embeddings_amplified(
     base_dir: str,
     factor: int,
     out_dir: str,
-    eps: float = 0.02,
+    eps: float = 0.002,
 ) -> str:
     """Write an embeddings-only fixture dir with N = factor×|base|
     vectors arranged in deterministic tight clusters (see module doc).
 
-    eps=0.02 puts within-cluster cosine ≈ 0.9999 (noise norm² ≈
-    eps²·dim/3 ≈ 0.0085 against |v|² ≈ dim), far above any cross-cluster
-    similarity on the near-isotropic base — the truth top-k of a base
-    query is its own copies, so recall measures whether the coarse
-    quantizer + probe actually route a query to its cluster's cell(s).
-    Deterministic: xxhash64 noise over (vec_id, element index, copy) —
-    no RNG, stable across runs and partitionings."""
+    The fixture embeddings are UNIT-NORM (|v|² = 1), so the noise norm²
+    is eps²·dim/3 RELATIVE TO 1: eps=0.002 gives 1−cos ≈
+    eps²·dim/6 ≈ 4.3e−5, i.e. within-cluster cosine ≈ 0.99996 — every
+    copy rounds to 1.0000 at the 4-decimal sim grain, so cluster
+    membership is unambiguous and recall measures whether the coarse
+    quantizer + probe ROUTE a query to its cluster's cell(s), not
+    micro-ranking inside the cluster. (The first cut used eps=0.02 on
+    the wrong assumption |v|² ≈ dim; that spread copies over cosine
+    0.994–0.998, and at factor 2100 the truth threshold landed in an
+    upper tail a k·refine=40 ADC shortlist can't reliably reach —
+    ADC quantization error ~0.065 ≫ the 0.004 within-cluster spread —
+    which read as recall 0 while every returned neighbor was a
+    legitimate 0.997-cosine cluster member.) Deterministic: xxhash64
+    noise over (vec_id, element index, copy) — no RNG, stable across
+    runs and partitionings."""
     import os as _os
 
     marker = _os.path.join(out_dir, "_COMPLETE")
