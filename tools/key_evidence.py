@@ -146,8 +146,11 @@ def _head_state() -> dict:
 
 
 def assert_head() -> int:
-    """Fail unless the ledger was built at the CURRENT HEAD with a clean
-    source tree (r11 verdict ask #8)."""
+    """Fail unless the round's last SOURCE state is the one the ledger
+    was built at (r11 verdict ask #8). Artifact/docs commits after the
+    sweep are fine — what invalidates the evidence is a change to any
+    `_SOURCE_PATHS` path after the ledger's recorded commit, or a dirty
+    source tree on either side of it."""
     evidence = json.loads(EVIDENCE_PATH.read_text())
     meta = evidence.get("_meta")
     if not meta:
@@ -155,11 +158,24 @@ def assert_head() -> int:
         return 1
     now = _head_state()
     problems = []
-    if meta.get("head_sha") != now["head_sha"]:
-        problems.append(
-            f"ledger built at {meta.get('head_sha', '?')[:12]} but HEAD is "
-            f"{now['head_sha'][:12]} — source moved after the sweep"
-        )
+    ledger_sha = meta.get("head_sha", "")
+    if ledger_sha != now["head_sha"]:
+        try:
+            moved = _git(
+                "diff",
+                "--name-only",
+                ledger_sha,
+                "HEAD",
+                "--",
+                *_SOURCE_PATHS,
+            ).strip()
+        except subprocess.CalledProcessError:
+            moved = "<ledger commit unknown to this repo>"
+        if moved:
+            problems.append(
+                f"source changed after the sweep at {ledger_sha[:12]}: "
+                f"{moved.splitlines()[:5]}"
+            )
     if meta.get("source_dirty"):
         problems.append("ledger was built with uncommitted source changes")
     if now["source_dirty"]:
@@ -168,7 +184,10 @@ def assert_head() -> int:
         for p in problems:
             print(f"FAIL: {p}", file=sys.stderr)
         return 1
-    print(f"OK: evidence ledger is pinned to HEAD {now['head_sha'][:12]}")
+    print(
+        f"OK: no source change since the evidence sweep at "
+        f"{ledger_sha[:12]} (HEAD {now['head_sha'][:12]})"
+    )
     return 0
 
 
