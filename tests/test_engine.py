@@ -990,3 +990,92 @@ def test_engine_ann_external_query_batch(spark, sf_dir):
             "llm_ann_ivf",
             queries=batch.withColumnRenamed("qv", "vector"),
         ).collect()
+
+
+def test_bench_noisy_gate_retries_and_republishes(monkeypatch, capsys):
+    """r12 gate enforcement: a suite that had to START noisy re-arms the
+    gate and, when the machine settles, REPLACES the noisy pass with a
+    quiet second pass (gate 'quiet_retry', bench_passes 2). A machine
+    that never settles publishes one noisy, self-flagged pass."""
+    import json
+
+    import bench
+
+    class _Warm:
+        def count(self):
+            return 0
+
+    def _mk_queries():
+        return {k: (lambda s, d: _Warm()) for k in bench.HEADLINE}
+
+    monkeypatch.setattr(bench, "get_spark", lambda **kw: object())
+    monkeypatch.setattr(bench, "load_all_queries", _mk_queries)
+    runs = []
+
+    def _fake_suite(spark, queries, keys):
+        runs.append(len(runs) + 1)
+        return {k: float(len(runs)) for k in keys}
+
+    monkeypatch.setattr(bench, "_run_suite", _fake_suite)
+
+    # (a) noisy start, quiet on re-arm: second pass wins wholesale
+    gates = iter([(9.9, "noisy"), (0.5, "quiet")])
+    monkeypatch.setattr(bench, "_await_quiet", lambda budget: next(gates))
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["load_gate"] == "quiet_retry"
+    assert out["bench_passes"] == 2
+    assert runs == [1, 2]
+    # every published timing is from pass 2, none from the noisy pass 1
+    assert all(v == 2.0 for v in out["queries"].values())
+    assert out["load_avg_before"] == 0.5
+
+    # (b) never settles: one pass, still flagged noisy
+    runs.clear()
+    monkeypatch.setattr(
+        bench, "_await_quiet", lambda budget: (9.9, "noisy")
+    )
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["load_gate"] == "noisy" and out["bench_passes"] == 1
+    assert runs == [1]
+
+    # (c) quiet start: single pass, no retry machinery engaged
+    runs.clear()
+    monkeypatch.setattr(
+        bench, "_await_quiet", lambda budget: (0.3, "quiet")
+    )
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["load_gate"] == "quiet" and out["bench_passes"] == 1
+    assert runs == [1]
+
+
+def test_registry_order_import_history_invariant():
+    """r12 latent-bug regression guard: pytest (or any caller) importing
+    an operator module BEFORE load_all_queries historically reordered
+    the registry dict — and the driver-window rotation derives from key
+    order, so the predicted window silently diverged from the driver's.
+    load_all_queries now canonicalizes; a fresh interpreter and one
+    that pre-imports operators.llm must produce IDENTICAL key order."""
+    import subprocess
+    import sys
+
+    prog = (
+        "from luxor_db_spark.registry import load_all_queries;"
+        "print('\\n'.join(load_all_queries()))"
+    )
+    fresh = subprocess.run(
+        [sys.executable, "-c", prog],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.splitlines()
+    perturbed = subprocess.run(
+        [sys.executable, "-c", "import luxor_db_spark.operators.llm;" + prog],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.splitlines()
+    assert len(fresh) >= 266
+    assert fresh == perturbed

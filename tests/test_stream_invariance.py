@@ -591,3 +591,23 @@ def test_stream_embed_inorder_multibatch_equals_single(
     finally:
         del os.environ[_ENV]
     assert single and ordered == single
+
+
+def test_drain_records_batch_and_state_stats(spark, sf_dir):
+    """r12: `_drain` must record LAST_DRAIN_STATS per key — micro-batch
+    count and retained state rows — because the strong-scale harness
+    normalizes streaming wall time by batch count and flags unpinned
+    arms; a silently-missing stats row would let an unpinned comparison
+    pass as a measurement. The single-file events fixture replays as
+    exactly one data batch; the complete-mode agg holds every window in
+    state at last progress."""
+    from luxor_db_spark.streaming import streams
+
+    streams.LAST_DRAIN_STATS.pop("stream_tumbling", None)
+    n = streams.stream_tumbling(spark, sf_dir).count()
+    assert n > 0
+    stats = streams.LAST_DRAIN_STATS.get("stream_tumbling")
+    assert stats is not None, "_drain did not record stats"
+    assert stats["n_batches"] >= 1
+    # complete-mode windowed agg: one state row per emitted window
+    assert stats["state_rows_total"] == n
