@@ -834,3 +834,76 @@ def test_ivfpq_tier256_recall(spark, amplified_tier256):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.8, f"tier-256 PQ recall collapsed: {recall}"
+
+
+def test_pq_refine_closes_tie_dense_shortfall(spark, sf_dir, tmp_path):
+    """The refine knob's contract where it actually binds (r12 finding):
+    on a corpus where a query has MORE quasi-tied near-neighbors than
+    the k·refine shortlist (59 copies spread over cosine ~0.994–0.998 —
+    a spread wider than nothing but far narrower than the ~0.065 ADC
+    quantization error, so ADC orders the ties randomly), the default
+    shortlist returns near-best neighbors and threshold recall@5 dips;
+    widening refine past the tie count must restore it. Pins BOTH ends:
+    refine=8 stays a sane floor (≥ 0.6 — shortlist still all copies),
+    refine=16 (shortlist 80 > 59 ties) reaches ≥ 0.95, and widening
+    never hurts. Deterministic: hash-noise fixture, seeded KMeans."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from luxor_db_spark.operators.llm import _cosine, pq_build_index, pq_query
+    from tools.ann_recall import build_embeddings_amplified
+
+    amp = build_embeddings_amplified(
+        spark, sf_dir, 60, str(tmp_path / "embx60sp"), eps=0.02
+    )
+    from luxor_db_spark.catalog import load_table
+    from pyspark.sql.functions import broadcast
+
+    e = load_table(spark, amp, "embeddings")
+    q10 = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    sc = (
+        e.crossJoin(broadcast(q10))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("sim", F.round(_cosine(F.col("qv"), F.col("embedding")), 4))
+    )
+    thr = {
+        r.q_id: r.sim
+        for r in sc.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(
+                    F.col("sim").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 5)
+        .collect()
+    }
+
+    pq = pq_build_index(spark, amp)
+
+    def tie_recall(refine):
+        got = spark.createDataFrame(
+            [
+                (r.q_id, r.nb_id)
+                for r in pq_query(pq, refine=refine)
+                .select("q_id", "nb_id")
+                .collect()
+            ],
+            "q_id bigint, nb_id bigint",
+        )
+        sims = (
+            e.join(broadcast(got), F.col("vec_id") == F.col("nb_id"))
+            .select("q_id", F.col("embedding").alias("nv"))
+            .join(broadcast(q10), "q_id")
+            .withColumn("sim", F.round(_cosine(F.col("qv"), F.col("nv")), 4))
+            .collect()
+        )
+        return sum(1 for r in sims if r.sim >= thr[r.q_id]) / (5 * len(thr))
+
+    r8, r16 = tie_recall(8), tie_recall(16)
+    assert r8 >= 0.6, f"default-refine floor collapsed: {r8}"
+    assert r16 >= 0.95, f"refine=16 must cover the 59-way tie set: {r16}"
+    assert r16 >= r8, "widening the shortlist must not lose recall"
