@@ -99,10 +99,63 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cores, not corpus" evidence for the streaming dedup family.
 LAST_DRAIN_STATS: dict[str, dict] = {}
 
+# Local-fixture state-partition right-sizing (r12 verdict task 3): a
+# stateful micro-batch schedules one task PER shuffle partition PER
+# stateful operator (stream-stream joins keep 4 state stores per
+# partition), and — unlike batch plans — AQE cannot coalesce them, so at
+# fixture scale nearly all of a drain's wall time is empty state-store
+# open/commit cycles, not data work (measured at sf0.1, local[32]: the
+# heavy dedup four took 47.0 s at 32 partitions vs 19.5 s at 8 with
+# identical results and batch counts). Pin streaming drains to a small
+# partition count when running LOCAL; a real cluster deployment is never
+# touched (state partitioning there is a capacity decision, sized to
+# corpus volume, and is locked into the checkpoint on first batch).
+#
+# LUXOR_STREAM_SHUFFLE_PARTITIONS overrides: an integer pins that count
+# (tools/strong_scale.py pins it to the arm's core count so its
+# cross-core comparison keeps measuring core scaling); "0"/"" disables
+# the clamp entirely.
+_STREAM_PARTITIONS_DEFAULT = 8
+
+
+def _stream_shuffle_partitions(spark: SparkSession) -> str | None:
+    """Partition count to pin for a streaming drain, or None to leave
+    the session conf alone."""
+    import os
+
+    override = os.environ.get("LUXOR_STREAM_SHUFFLE_PARTITIONS")
+    if override is not None:
+        override = override.strip()
+        return None if override in ("", "0") else override
+    try:
+        if not spark.sparkContext.master.startswith("local"):
+            return None
+        current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return None
+    if current <= _STREAM_PARTITIONS_DEFAULT:
+        return None
+    return str(_STREAM_PARTITIONS_DEFAULT)
+
 
 def _drain(df: DataFrame, key: str, mode: str) -> DataFrame:
     """Run a streaming query to completion into a memory sink; return it."""
+    spark = df.sparkSession
     name = f"luxor_{key}_{next(_SINK_IDS)}"
+    # The streaming query captures spark.sql.shuffle.partitions into its
+    # checkpoint metadata at first batch and keeps it for life, so the
+    # session conf can be restored once the drain completes without
+    # affecting the (already finished) query. Restoring in the finally
+    # block — not right after start() — avoids racing batch 0's conf
+    # capture, which happens asynchronously on the stream thread.
+    pinned = _stream_shuffle_partitions(spark)
+    prior = None
+    if pinned is not None:
+        try:
+            prior = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", pinned)
+        except Exception:
+            pinned = None
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -115,8 +168,15 @@ def _drain(df: DataFrame, key: str, mode: str) -> DataFrame:
             prog = q.recentProgress
             stats: dict = {"n_batches": 0, "state_rows_total": None}
             if prog:
-                stats["n_batches"] = (
-                    max(int(p["batchId"]) for p in prog) + 1
+                # Count DISTINCT batchIds rather than max+1 (r12 ADVICE
+                # #1): a checkpoint-resumed drain continues numbering
+                # from the checkpoint, so max+1 would report cumulative
+                # batches, skewing s_per_batch normalization. Caveat:
+                # recentProgress is a capped ring buffer (default 100
+                # entries) — far above any fixture drain's batch count,
+                # but a >100-batch replay would undercount.
+                stats["n_batches"] = len(
+                    {int(p["batchId"]) for p in prog}
                 )
                 last_state = next(
                     (
@@ -137,6 +197,11 @@ def _drain(df: DataFrame, key: str, mode: str) -> DataFrame:
             pass
     finally:
         q.stop()
+        if pinned is not None and prior is not None:
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", prior)
+            except Exception:
+                pass
     return df.sparkSession.table(name)
 
 

@@ -593,6 +593,63 @@ def test_stream_embed_inorder_multibatch_equals_single(
     assert single and ordered == single
 
 
+def test_stream_shuffle_partition_clamp_policy(spark, monkeypatch):
+    """r13 (r12 verdict task 3): streaming drains clamp the state
+    partition count on LOCAL sessions only — a stateful micro-batch
+    schedules one task per shuffle partition per state store and AQE
+    cannot coalesce them, so fixture-scale drains were ~70% empty
+    state-store commit cycles (measured 47.0 s → 19.5 s for the heavy
+    dedup four at sf0.1/local[32]). Policy matrix:
+
+    - env unset, local, conf > 8  → clamp to the default (8)
+    - env unset, conf <= 8        → leave alone (None)
+    - env "0" / ""                → disabled (None)
+    - env "<n>"                   → pinned verbatim (strong_scale arms)
+    """
+    from luxor_db_spark.streaming import streams
+
+    env = "LUXOR_STREAM_SHUFFLE_PARTITIONS"
+    monkeypatch.delenv(env, raising=False)
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        assert streams._stream_shuffle_partitions(spark) == "8"
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        assert streams._stream_shuffle_partitions(spark) is None
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        assert streams._stream_shuffle_partitions(spark) is None
+
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        monkeypatch.setenv(env, "0")
+        assert streams._stream_shuffle_partitions(spark) is None
+        monkeypatch.setenv(env, "")
+        assert streams._stream_shuffle_partitions(spark) is None
+        monkeypatch.setenv(env, "16")
+        assert streams._stream_shuffle_partitions(spark) == "16"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+def test_stream_result_invariant_to_state_partition_count(
+    spark, sf_dir, monkeypatch
+):
+    """The clamp is a physical-layout knob, not semantics: the same key
+    drained at 2 vs 8 state partitions must emit identical rows, and
+    `_drain` must restore the session conf afterwards (a leaked clamp
+    would shrink every subsequent BATCH shuffle too)."""
+    env = "LUXOR_STREAM_SHUFFLE_PARTITIONS"
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+
+    monkeypatch.setenv(env, "2")
+    clamped = _run(spark, sf_dir, "stream_tumbling")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior, (
+        "_drain leaked its pinned shuffle-partition conf into the session"
+    )
+    monkeypatch.setenv(env, "8")
+    wide = _run(spark, sf_dir, "stream_tumbling")
+    assert clamped == wide and clamped
+
+
 def test_drain_records_batch_and_state_stats(spark, sf_dir):
     """r12: `_drain` must record LAST_DRAIN_STATS per key — micro-batch
     count and retained state rows — because the strong-scale harness

@@ -165,6 +165,12 @@ def worker(master: str, sf_dir: str, keys: list[str]) -> int:
     when n_batches is PINNED — the parent flags any key whose batch
     count differs across arms (r11 verdict task 3)."""
     cores = master.split("[")[1].rstrip("]")
+    # Pin streaming drains' state partitions to the arm's core count:
+    # _drain otherwise clamps local streaming to 8 partitions (r12
+    # verdict task 3 — fixture-scale commit overhead), which would make
+    # this probe's streaming rows flat-by-construction instead of a
+    # measurement of core scaling.
+    os.environ["LUXOR_STREAM_SHUFFLE_PARTITIONS"] = cores
     from luxor_db_spark.registry import load_all_queries
     from luxor_db_spark.session import get_spark
     from luxor_db_spark.streaming import streams as _streams
