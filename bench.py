@@ -110,6 +110,61 @@ def drain(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or 0
 
 
+# Interleaved machine-factor calibration (r12 verdict task 1): the
+# pre-suite load gate samples contention only BEFORE the suite starts,
+# so co-tenant load arriving mid-run is invisible — BENCH_r12 passed the
+# gate yet published 1.57× the same-commit quiet numbers. A fixed
+# CPU-saturating probe job (range→sum(xxhash64) across all cores: ~0.14 s
+# quiet on local[32], ~2× under 2× CPU oversubscription) now runs between
+# headline keys; each key's machine factor is the smaller of its two
+# bracketing probes divided by the run's quiet-probe floor (both sides
+# must read elevated — see the bracket comment in _run_suite). Keys
+# measured above FACTOR_MAX are re-timed once, the lower-contention
+# attempt wins, and EVERY key's factor is published so cross-round
+# readers can deflate or discard inflated entries per key.
+#
+# Noise handling (measured during development): a SINGLE probe job's
+# wall time jitters ~1.4× from task-scheduling variance and long-run JIT
+# drift — far too noisy against a 1.2 threshold. Two defenses: each
+# probe reading is the MEDIAN of 3 back-to-back jobs (sustained
+# contention survives a median; one-off scheduler hiccups and
+# fast-outlier JIT samples don't), and the floor is the 10th-percentile
+# reading of the whole run rather than the minimum (one anomalously
+# fast sample must not reclassify every other key as contended).
+PROBE_ROWS = int(os.environ.get("LUXOR_BENCH_PROBE_ROWS", "50000000"))
+PROBE_SAMPLES = int(os.environ.get("LUXOR_BENCH_PROBE_SAMPLES", "3"))
+# Threshold calibration: after the warmup loop, a QUIET machine's probe
+# readings still spread up to ~1.25× (GC pauses from the interleaved key
+# runs, residual JIT, turbo-state wander — measured over 40 consecutive
+# readings during development), so 1.2 would flag marginals on a healthy
+# run. 1.3 stays safely above the quiet spread while tripping easily on
+# real contention (2× CPU oversubscription measures ~2.1×; the BENCH_r12
+# contamination averaged 1.57×).
+FACTOR_MAX = float(os.environ.get("LUXOR_BENCH_FACTOR_MAX", "1.3"))
+
+
+def _probe_once(spark) -> float:
+    """One calibration reading: median of PROBE_SAMPLES constant
+    CPU-bound jobs saturating every core (xxhash64 is not foldable, so
+    the JIT cannot optimize the work away as it warms)."""
+    samples = []
+    for _ in range(PROBE_SAMPLES):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, PROBE_ROWS, 1, os.cpu_count() or 8)
+            .selectExpr("sum(xxhash64(id)) AS s")
+            .collect()
+        )
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def _probe_floor(probes: list[float]) -> float:
+    """The run's quiet baseline: the 10th-percentile probe reading."""
+    ordered = sorted(probes)
+    return ordered[round(0.1 * (len(ordered) - 1))]
+
+
 # Quiet-machine gate (r6 verdict #7, ENFORCED r12 per the r11 verdict):
 # the r6 recorded bench ran at load 4.59 and produced 4 phantom
 # regressions; r11's ran at load 1.83→26.89 and contaminated all 50
@@ -146,17 +201,84 @@ def _await_quiet(budget_s: int) -> tuple[float, str]:
     return round(os.getloadavg()[0], 2), "noisy"
 
 
-def _run_suite(spark, queries, keys: list[str]) -> dict[str, float]:
+def _time_key(spark, queries, key: str) -> float:
+    samples = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        df = queries[key](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 3)
+
+
+def _run_suite(
+    spark, queries, keys: list[str]
+) -> tuple[dict[str, float], dict]:
+    """Time every key with interleaved calibration probes.
+
+    Returns (timings, calibration_meta). The probe floor — the run's
+    10th-percentile probe reading — stands in for "this machine,
+    quiet"; a key bracketed by probes at 1.0× the floor was measured on
+    a quiet machine even if the load average says otherwise (our own
+    local[32] saturation inflates loadavg but not the between-key
+    probes). Bracketing cannot see a burst that starts and ends INSIDE
+    one key's samples, so factors are a lower bound; the pre-suite gate
+    and load_avg_after remain as the coarse outer signal.
+    """
+    probes = [_probe_once(spark)]
     timings: dict[str, float] = {}
+    brackets: dict[str, float] = {}
     for key in keys:
-        samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            df = queries[key](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        timings[key] = round(statistics.median(samples), 3)
-    return timings
+        before = probes[-1]
+        timings[key] = _time_key(spark, queries, key)
+        probes.append(_probe_once(spark))
+        # A key's bracket is the SMALLER of its two surrounding probes:
+        # flagging requires both sides elevated. Sustained co-tenant
+        # load (the r11/r12 contamination ran for minutes) elevates
+        # consecutive probes; an isolated spike — a GC pause trailing
+        # one heavy key — elevates exactly one, and max() was measured
+        # flagging ~20 quiet keys per run on that alone.
+        brackets[key] = min(before, probes[-1])
+    floor = _probe_floor(probes)
+    rerun = sorted(k for k in keys if brackets[k] / floor > FACTOR_MAX)
+    for key in rerun:
+        # One bounded retry per flagged key; the attempt measured under
+        # less contention wins. Probes from retries also tighten the
+        # floor (they may be the quietest moments of the whole run).
+        b0 = _probe_once(spark)
+        t = _time_key(spark, queries, key)
+        b1 = _probe_once(spark)
+        probes.extend((b0, b1))
+        if min(b0, b1) < brackets[key]:
+            brackets[key] = min(b0, b1)
+            timings[key] = t
+    floor = _probe_floor(probes)
+    factors = {k: round(brackets[k] / floor, 2) for k in keys}
+    meta = {
+        "probe_floor_s": round(floor, 3),
+        "machine_factor": factors,
+        "suite_machine_factor": round(
+            statistics.median(factors.values()), 2
+        )
+        if factors
+        else 1.0,
+        "rerun_keys": rerun,
+        # Keys whose BEST attempt still measured contended: deflate or
+        # discard these individually when comparing across rounds.
+        "contended_keys": sorted(
+            k for k, f in factors.items() if f > FACTOR_MAX
+        ),
+        "n_probes": len(probes),
+        # Raw probe distribution, for judging the floor itself: a wide
+        # min→max spread with a quiet gate means machine-speed wander
+        # (thermal/JIT), not co-tenant load.
+        "probe_percentiles": {
+            "min": round(min(probes), 3),
+            "p50": round(statistics.median(probes), 3),
+            "max": round(max(probes), 3),
+        },
+    }
+    return timings, meta
 
 
 def main() -> None:
@@ -164,21 +286,36 @@ def main() -> None:
     keys = [k for k in HEADLINE if k in queries]
     load_before, load_gate = _await_quiet(QUIESCE_WAIT_S)
     spark = get_spark(app_name="luxor-db-spark-bench")
-    # Warm the JVM + parquet footers with the cheapest key.
+    # Warm the JVM + parquet footers with the cheapest key, then
+    # stabilize the probe: the first ~6 readings trend downward as C2
+    # compilation finishes (measured 0.23 → 0.11 s over the first six) —
+    # without this, the run's floor comes from LATE probes and every
+    # early key spuriously reads as contended.
     queries[keys[0]](spark, SF_DIR).count()
+    prev = _probe_once(spark)
+    for _ in range(11):
+        cur = _probe_once(spark)
+        improving = cur < prev * 0.97
+        prev = cur
+        if not improving:
+            break
 
     passes = 1
-    timings = _run_suite(spark, queries, keys)
+    timings, calib = _run_suite(spark, queries, keys)
     if load_gate == "noisy":
         # First pass ran on a loaded machine — every number in it is
         # suspect (r11). Re-arm the gate; if the machine settles inside
         # the bounded retry wait, the quiet second pass replaces the
         # noisy one wholesale (medians from different load regimes must
-        # not be mixed).
+        # not be mixed). Comparability note (r12 ADVICE #2): the retry
+        # pass runs on a JVM/JIT/page cache fully warmed by the
+        # discarded pass, so quiet_retry rounds are systematically
+        # warm-biased vs a normal single-pass round — flagged as
+        # warm_biased in the output.
         load_retry, gate_retry = _await_quiet(RETRY_WAIT_S)
         if gate_retry != "noisy":
             load_before, load_gate = load_retry, "quiet_retry"
-            timings = _run_suite(spark, queries, keys)
+            timings, calib = _run_suite(spark, queries, keys)
             passes = 2
 
     total = round(sum(timings.values()), 3)
@@ -187,6 +324,17 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # Streaming keys' wall time is ≈ n_batches × commit overhead + data
+    # work; publishing each drain's batch/state counts makes cross-round
+    # streaming comparisons checkable (r12 verdict task 3).
+    try:
+        from luxor_db_spark.streaming.streams import LAST_DRAIN_STATS
+
+        drain_stats = {
+            k: v for k, v in LAST_DRAIN_STATS.items() if k in timings
+        }
+    except Exception:
+        drain_stats = {}
     print(
         json.dumps(
             {
@@ -212,7 +360,21 @@ def main() -> None:
                 # comparable across rounds.
                 "load_gate": load_gate,
                 "bench_passes": passes,
+                # quiet_retry passes run fully warmed by the discarded
+                # noisy pass — systematically faster than a single-pass
+                # quiet round (r12 ADVICE #2).
+                "warm_biased": load_gate == "quiet_retry",
                 "n_cpus": os.cpu_count(),
+                # Per-key machine factors from the interleaved probes
+                # (r12 verdict task 1): probe_floor_s is this run's
+                # quietest probe; machine_factor[k] is k's bracketing
+                # probe max over that floor. Keys in contended_keys
+                # measured >FACTOR_MAX even after their bounded re-run —
+                # deflate or discard them in cross-round reads.
+                "probe_rows": PROBE_ROWS,
+                "factor_max": FACTOR_MAX,
+                **calib,
+                "drain_stats": drain_stats,
             }
         )
     )

@@ -80,6 +80,21 @@ def load_all_queries() -> dict[str, Callable]:
         # stable sort on module rank alone reproduces the fresh-
         # interpreter order exactly.
         rank = {m: i for i, m in enumerate(_CANON_MODULES)}
+        # Fail LOUDLY on a registration from outside _CANON_MODULES
+        # (r12 ADVICE #4): the silent fallback rank would quietly sort
+        # such a key to the tail, diverging from the documented
+        # fresh-interpreter order the driver window depends on.
+        strays = {
+            key: fn.__module__
+            for key, fn in QUERIES.items()
+            if fn.__module__ not in rank
+        }
+        assert not strays, (
+            f"queries registered from modules outside "
+            f"registry._CANON_MODULES (add the module to the canonical "
+            f"list so driver-window ordering stays deterministic): "
+            f"{strays}"
+        )
         ordered = sorted(
             QUERIES.items(),
             key=lambda kv: rank.get(kv[1].__module__, len(rank)),

@@ -102,9 +102,19 @@ def build_embeddings_amplified(
     runs and partitionings."""
     import os as _os
 
+    # The marker records the build parameters and is VALIDATED on reuse
+    # (r12 ADVICE #3): a caller pointing at an existing out_dir with a
+    # different eps/factor/base (the tie-dense test uses eps=0.02 vs the
+    # default 0.002) must get a rebuild, not the stale fixture.
     marker = _os.path.join(out_dir, "_COMPLETE")
+    expected = f"factor={factor} base={base_dir} eps={eps}\n"
     if _os.path.exists(marker):
-        return out_dir
+        with open(marker) as fh:
+            if fh.read() == expected:
+                return out_dir
+        import shutil as _shutil
+
+        _shutil.rmtree(out_dir, ignore_errors=True)
     e = load_table(spark, base_dir, "embeddings")
     c = F.col("c")
     amp = (
@@ -137,7 +147,7 @@ def build_embeddings_amplified(
         _os.path.join(out_dir, "embeddings.parquet")
     )
     with open(marker, "w") as fh:
-        fh.write(f"factor={factor} base={base_dir} eps={eps}\n")
+        fh.write(expected)
     return out_dir
 
 
