@@ -172,6 +172,57 @@ def exact_top5(spark, sf_dir: str) -> set[tuple[int, int]]:
     return {(r.q_id, r.nb_id) for r in rows}
 
 
+def tie_aware_recall(spark, sf_dir: str, got: set) -> float:
+    """Tie-aware recall@5 (the honest metric on amplified corpora):
+    every query has factor−1 copies whose exact cosines collide at the
+    4-decimal rounding, so the id-matched truth set is one arbitrary
+    vec_id-tie-broken pick among thousands of exact equivalents — a
+    bounded-shortlist path (PQ) legitimately returns a DIFFERENT
+    equally-good subset and strict recall reads ~0 while answer quality
+    is perfect. Standard fix: a returned neighbor is correct iff its
+    exact rounded sim ≥ the query's 5th-best rounded sim."""
+    e_amp = load_table(spark, sf_dir, "embeddings")
+    q10 = e_amp.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    sc_all = (
+        e_amp.crossJoin(broadcast(q10))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "sim", F.round(_cosine(F.col("qv"), F.col("embedding")), 4)
+        )
+    )
+    w5 = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    thr = {
+        r.q_id: r.sim
+        for r in sc_all.withColumn("rn", F.row_number().over(w5))
+        .filter(F.col("rn") == 5)
+        .select("q_id", "sim")
+        .collect()
+    }
+    if not got:
+        return 0.0
+    pairs = spark.createDataFrame(
+        list(got), "q_id bigint, nb_id bigint"
+    )
+    sims = (
+        e_amp.join(broadcast(pairs), F.col("vec_id") == F.col("nb_id"))
+        .select("q_id", "nb_id", F.col("embedding").alias("nv"))
+        .join(
+            broadcast(q10.select("q_id", F.col("qv").alias("qemb"))),
+            "q_id",
+        )
+        .withColumn(
+            "sim", F.round(_cosine(F.col("qemb"), F.col("nv")), 4)
+        )
+        .collect()
+    )
+    ok = sum(1 for r in sims if r.sim >= thr[r.q_id])
+    return round(ok / (5 * len(thr)), 4)
+
+
 def main(argv: list[str]) -> int:
     sf_dir = "/root/testdata/sf0.01"
     nprobes = [2, 4, 8, 12]
@@ -197,74 +248,18 @@ def main(argv: list[str]) -> int:
     if "--amplify" in argv:
         factor = int(argv[argv.index("--amplify") + 1])
         from luxor_db_spark.operators.llm import (
-            _cosine as _cos,
             ivf_build_index,
             ivf_query,
             ivf_scan_stats,
         )
-        from pyspark.sql import Window as W
 
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         out = os.path.join(repo, "tmp", "scale", f"emb_x{factor}")
         sf_dir = build_embeddings_amplified(spark, sf_dir, factor, out)
         truth = exact_top5(spark, sf_dir)
 
-        # Tie-aware recall@5 (the honest metric on this corpus): every
-        # query has factor-1 copies whose exact cosines collide at the
-        # 4-decimal rounding, so the id-matched truth set is one
-        # arbitrary vec_id-tie-broken pick among thousands of exact
-        # equivalents — a bounded-shortlist path (PQ) legitimately
-        # returns a DIFFERENT equally-good subset and strict recall
-        # reads ~0 while answer quality is perfect. Standard fix: a
-        # returned neighbor is correct iff its exact rounded sim ≥ the
-        # query's 5th-best rounded sim.
-        e_amp = load_table(spark, sf_dir, "embeddings")
-        q10 = e_amp.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
-        )
-        sc_all = (
-            e_amp.crossJoin(broadcast(q10))
-            .filter(F.col("vec_id") != F.col("q_id"))
-            .withColumn(
-                "sim", F.round(_cos(F.col("qv"), F.col("embedding")), 4)
-            )
-        )
-        w5 = W.partitionBy("q_id").orderBy(
-            F.col("sim").desc(), F.col("vec_id")
-        )
-        thr = {
-            r.q_id: r.sim
-            for r in sc_all.withColumn("rn", F.row_number().over(w5))
-            .filter(F.col("rn") == 5)
-            .select("q_id", "sim")
-            .collect()
-        }
-
         def _tie_recall(got: set) -> float:
-            if not got:
-                return 0.0
-            pairs = spark.createDataFrame(
-                list(got), "q_id bigint, nb_id bigint"
-            )
-            sims = (
-                e_amp.join(
-                    broadcast(pairs),
-                    F.col("vec_id") == F.col("nb_id"),
-                )
-                .select("q_id", "nb_id", F.col("embedding").alias("nv"))
-                .join(
-                    broadcast(
-                        q10.select("q_id", F.col("qv").alias("qemb"))
-                    ),
-                    "q_id",
-                )
-                .withColumn(
-                    "sim", F.round(_cos(F.col("qemb"), F.col("nv")), 4)
-                )
-                .collect()
-            )
-            ok = sum(1 for r in sims if r.sim >= thr[r.q_id])
-            return round(ok / (5 * len(thr)), 4)
+            return tie_aware_recall(spark, sf_dir, got)
         t0 = time.perf_counter()
         idx = ivf_build_index(spark, sf_dir)  # ncells=None: AUTO-TIER
         build_s = round(time.perf_counter() - t0, 2)
