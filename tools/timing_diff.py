@@ -193,6 +193,30 @@ def main(argv: list[str]) -> int:
                 f"--ab <{old}-end-commit> {key}`"
             )
         lines.append("")
+    # Static cost-envelope notes: hand-measured floors for the keys whose
+    # ledger seconds are dominated by fixed costs, so a reader doesn't
+    # mistake them for data work (r12 verdict task 6). Rendered into
+    # every regeneration of this file.
+    lines += [
+        "## Cost envelopes (fixed-cost keys)",
+        "",
+        "- `llm_ann_pq_parity` (~22-25 s cold / ~13 s warm at sf0.01, "
+        "profiled r13): ≈10-13 s first-MLlib-use JIT/classload (paid "
+        "once per session by whichever ANN key runs first — in the "
+        "4-key sim the same build+serve ran 9.5 s warm), ≈7-9 s "
+        "two-pass KMeans build (coarse fit ~3 s + 8 concurrent "
+        "codebook fits ~4 s; train sample capped, so this term is "
+        "N-independent past the cap), ≈5-7 s parity-wide serve plan "
+        "(probe + ADC codegen over the m·k codebook literal + two "
+        "windows + two broadcast joins — fixed stage costs; data work "
+        "<0.5 s). The corpus-wide shortlist the parity contract "
+        "requires (k·refine ≥ N) grows the serve term linearly in N; "
+        "the SHIPPED serving path (refine=8) stays O(k·refine). "
+        "Build-per-call is a pinned contract (drop_index test), so "
+        "cross-key index reuse is deliberately NOT done in the "
+        "registered keys; LuxorEngine.build_index is the reuse path.",
+        "",
+    ]
     missing = [r for r in rows if r[3] is None]
     if missing:
         lines.append(
