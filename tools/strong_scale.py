@@ -169,8 +169,12 @@ def worker(master: str, sf_dir: str, keys: list[str]) -> int:
     # _drain otherwise clamps local streaming to 8 partitions (r12
     # verdict task 3 — fixture-scale commit overhead), which would make
     # this probe's streaming rows flat-by-construction instead of a
-    # measurement of core scaling.
-    os.environ["LUXOR_STREAM_SHUFFLE_PARTITIONS"] = cores
+    # measurement of core scaling. --clamp-default instead measures the
+    # SHIPPED local behavior (the 8-partition clamp), the r13 arm used
+    # to show the old inverse-scaling rows were the state-store fan-out
+    # the clamp removed.
+    if os.environ.get("LUXOR_STRONG_CLAMP_DEFAULT") != "1":
+        os.environ["LUXOR_STREAM_SHUFFLE_PARTITIONS"] = cores
     from luxor_db_spark.registry import load_all_queries
     from luxor_db_spark.session import get_spark
     from luxor_db_spark.streaming import streams as _streams
@@ -245,6 +249,9 @@ def main(argv: list[str]) -> int:
         del argv[i : i + 2]
     merge = "--merge" in argv
     argv = [a for a in argv if a != "--merge"]
+    if "--clamp-default" in argv:
+        os.environ["LUXOR_STRONG_CLAMP_DEFAULT"] = "1"
+        argv = [a for a in argv if a != "--clamp-default"]
     keys = [a for a in argv if not a.startswith("-")] or DEFAULT_KEYS
 
     from luxor_db_spark.registry import load_all_queries
