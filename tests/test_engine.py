@@ -1015,7 +1015,7 @@ def test_bench_noisy_gate_retries_and_republishes(monkeypatch, capsys):
     def _fake_suite(spark, queries, keys):
         runs.append(len(runs) + 1)
         meta = {
-            "probe_floor_s": 0.2,
+            "probe_baseline_s": 0.2,
             "machine_factor": {k: 1.0 for k in keys},
             "suite_machine_factor": 1.0,
             "rerun_keys": [],
@@ -1116,14 +1116,30 @@ def test_bench_interleaved_machine_factor_probes(monkeypatch):
         "c": 1.0,
         "d": 1.0,
     }
-    assert meta["probe_floor_s"] == 0.2
+    # baseline = MEDIAN probe (p10 floors chased the quiet fast-outlier
+    # tail and reclassified ~27 quiet keys per run as contended)
+    assert meta["probe_baseline_s"] == 0.2
     assert meta["n_probes"] == 7
 
     # A key still contended after its bounded retry stays flagged, and
-    # its original timing stands (the retry was no quieter).
-    probe_script = iter([0.2, 0.5, 0.5, 0.5, 0.5])
-    time_script = {"a": [1.0], "b": [2.0, 1.8]}
-    timings, meta = bench._run_suite(object(), {}, ["a", "b"])
+    # its original timing stands (the retry was no quieter). Quiet
+    # probes must outnumber the burst's, or the median baseline itself
+    # absorbs the contamination — that end-to-end case is the load
+    # gate's job, not this mechanism's.
+    probe_script = iter(
+        [0.2, 0.5, 0.5, 0.2, 0.2, 0.2, 0.2, 0.5, 0.5]
+    )  # pre, after a..f (burst brackets b), retry of b
+    time_script = {
+        "a": [1.0],
+        "b": [2.0, 1.8],
+        "c": [1.0],
+        "d": [1.0],
+        "e": [1.0],
+        "f": [1.0],
+    }
+    timings, meta = bench._run_suite(
+        object(), {}, ["a", "b", "c", "d", "e", "f"]
+    )
     assert meta["rerun_keys"] == ["b"]
     assert meta["contended_keys"] == ["b"]
     assert meta["machine_factor"]["b"] == 2.5
