@@ -29,6 +29,17 @@ from luxor_db_spark.registry import query
 
 _SINK_IDS = itertools.count()
 
+# Most recent memory-sink view per key, dropped when the SAME key drains
+# again (r13): a memory sink's materialized rows live as long as its
+# temp view, so without this a 5-run bench pass retains 30 sink tables
+# and a 50-key driver window grows one per streaming run — unbounded
+# session-memory growth for rows nobody can reach (callers collect or
+# noop-write the returned frame immediately; by the next drain of the
+# same key, the previous result is dead). Only the same key's prior
+# sink is dropped — two DIFFERENT keys' results stay independently
+# readable within a session.
+_LAST_SINK_VIEW: dict[str, str] = {}
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a Structured Streaming file source.
 
@@ -142,6 +153,13 @@ def _drain(df: DataFrame, key: str, mode: str) -> DataFrame:
     """Run a streaming query to completion into a memory sink; return it."""
     spark = df.sparkSession
     name = f"luxor_{key}_{next(_SINK_IDS)}"
+    prior_sink = _LAST_SINK_VIEW.get(key)
+    if prior_sink is not None:
+        try:
+            spark.catalog.dropTempView(prior_sink)
+        except Exception:
+            pass
+    _LAST_SINK_VIEW[key] = name
     # The streaming query captures spark.sql.shuffle.partitions into its
     # checkpoint metadata at first batch and keeps it for life, so the
     # session conf can be restored once the drain completes without

@@ -650,6 +650,29 @@ def test_stream_result_invariant_to_state_partition_count(
     assert clamped == wide and clamped
 
 
+def test_drain_drops_prior_sink_view_of_same_key(spark, sf_dir):
+    """r13: a memory sink's materialized rows live as long as its temp
+    view, so re-draining the same key must drop the previous run's view
+    (a 5-run bench pass otherwise retains 30 dead sink tables). Only
+    the SAME key's prior sink is dropped — other keys' results stay
+    readable."""
+    from luxor_db_spark.streaming import streams
+
+    first = streams.stream_tumbling(spark, sf_dir)
+    first_view = streams._LAST_SINK_VIEW["stream_tumbling"]
+    assert spark.catalog.tableExists(first_view)
+    n_first = first.count()
+
+    second = streams.stream_tumbling(spark, sf_dir)
+    second_view = streams._LAST_SINK_VIEW["stream_tumbling"]
+    assert second_view != first_view
+    assert not spark.catalog.tableExists(first_view), (
+        "prior sink view of the same key must be dropped on re-drain"
+    )
+    assert spark.catalog.tableExists(second_view)
+    assert second.count() == n_first
+
+
 def test_drain_records_batch_and_state_stats(spark, sf_dir):
     """r12: `_drain` must record LAST_DRAIN_STATS per key — micro-batch
     count and retained state rows — because the strong-scale harness
