@@ -362,29 +362,70 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(ded, "stream_dedup", "append")
 
 
+# Part count for staged single-file stream sources (and the flushed-docs
+# staging below): matches _STREAM_PARTITIONS_DEFAULT so one micro-batch
+# scans the source with the same parallelism its stateful shuffle gets.
+_STAGE_PARTS = 8
+
+
+def _stage_stream_table(
+    spark: SparkSession, sf_dir: str, table: str, id_col: str
+) -> str:
+    """Stage a single-file fixture table as an _STAGE_PARTS-part parquet
+    directory, once per (sf_dir, table, pid). Why (r13): the driver
+    fixture is ONE parquet file, and a file-source micro-batch scans one
+    file as ONE task — so every in-flight transform (the per-row simhash
+    HOF, the sign-block projection) ran single-threaded before the first
+    shuffle (measured ~1.0 s of one-core fingerprint work per drain at
+    sf0.1). A real ingest directory holds many files per trigger; the
+    staged multi-part copy restores exactly that source parallelism.
+    Semantics unchanged: all parts land in micro-batch 0 (no
+    maxFilesPerTrigger), and the hash-repartition by the id column is
+    deterministic. Same per-process lifecycle as _stage_flushed_docs."""
+    import hashlib
+    import os
+    import tempfile
+
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"luxor_stream_{table}_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        + f"_p{os.getpid()}",
+    )
+    if staged in _STAGED_DONE:
+        return staged
+    _register_staged_cleanup(staged)
+    load_table(spark, sf_dir, table).repartition(
+        _STAGE_PARTS, F.col(id_col)
+    ).write.mode("overwrite").parquet(staged)
+    _STAGED_DONE.add(staged)
+    return staged
+
+
 def _stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet as a Structured Streaming file source (the
     `stream_events` recipe on the documents table; schema sniffed from
-    the footer, single-file fixtures scanned via pathGlobFilter)."""
+    the footer). Single-file fixtures are staged as a multi-part copy
+    first (see _stage_stream_table) so the one data batch scans in
+    parallel; directory fixtures (amplified corpora) stream as-is."""
     import os
 
     from luxor_db_spark.session import configure
 
     configure(spark)
     path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.isdir(path):
+        path = _stage_stream_table(spark, sf_dir, "documents", "doc_id")
+        return (
+            spark.readStream.schema(spark.read.parquet(path).schema)
+            .parquet(path)
+        )
     raw_schema = spark.read.parquet(path).schema
-    if os.path.isdir(path):
-        rs = spark.readStream.schema(raw_schema)
-        mft = os.environ.get("LUXOR_STREAM_MAX_FILES_PER_TRIGGER")
-        if mft:
-            rs = rs.option("maxFilesPerTrigger", int(mft))
-        return rs.parquet(path)
-    return (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(sf_dir)
-    )
+    rs = spark.readStream.schema(raw_schema)
+    mft = os.environ.get("LUXOR_STREAM_MAX_FILES_PER_TRIGGER")
+    if mft:
+        rs = rs.option("maxFilesPerTrigger", int(mft))
+    return rs.parquet(path)
 
 
 # Per-ROW simhash fingerprint (no groupBy): the same md5-derived 60-bit
@@ -535,26 +576,28 @@ def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings.parquet as a Structured Streaming file source (the
-    `stream_events` recipe on the embeddings table)."""
+    `stream_events` recipe on the embeddings table). Single-file
+    fixtures are staged multi-part first (see _stage_stream_table) so
+    the sign-block projection parallelizes; directory fixtures stream
+    as-is."""
     import os
 
     from luxor_db_spark.session import configure
 
     configure(spark)
     path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.isdir(path):
+        path = _stage_stream_table(spark, sf_dir, "embeddings", "vec_id")
+        return (
+            spark.readStream.schema(spark.read.parquet(path).schema)
+            .parquet(path)
+        )
     raw_schema = spark.read.parquet(path).schema
-    if os.path.isdir(path):
-        rs = spark.readStream.schema(raw_schema)
-        mft = os.environ.get("LUXOR_STREAM_MAX_FILES_PER_TRIGGER")
-        if mft:
-            rs = rs.option("maxFilesPerTrigger", int(mft))
-        return rs.parquet(path)
-    return (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(sf_dir)
-    )
+    rs = spark.readStream.schema(raw_schema)
+    mft = os.environ.get("LUXOR_STREAM_MAX_FILES_PER_TRIGGER")
+    if mft:
+        rs = rs.option("maxFilesPerTrigger", int(mft))
+    return rs.parquet(path)
 
 
 # stream_embed_dedup contract constants: sign-pattern block width and the
@@ -738,7 +781,13 @@ def _stage_flushed_docs(spark: SparkSession, sf_dir: str) -> str:
         return staged
     _register_staged_cleanup(staged)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs.write.mode("overwrite").parquet(staged)
+    # Multi-part write (r13): one part file = one scan task in the data
+    # micro-batch, which serialized the in-flight chunking/fingerprint
+    # onto a single core — see _stage_stream_table. Hash-repartition by
+    # doc_id is deterministic; everything still lands in batch 0.
+    docs.repartition(_STAGE_PARTS, F.col("doc_id")).write.mode(
+        "overwrite"
+    ).parquet(staged)
     spark.createDataFrame(
         [(_SURVIVOR_FLUSH_ID, "watermark flush sentinel")],
         "doc_id bigint, text string",
