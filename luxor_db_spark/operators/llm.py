@@ -990,6 +990,16 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = e.select(
         F.col("vec_id").alias("nb_id"), F.col("embedding").alias("cv")
     )
+    # Spread the candidate side before the broadcast join (r13): the
+    # single-file fixture scans as ONE task, and the |q|×|cand| cosine
+    # HOF evaluation happens in the join's probe stage — i.e. all 150k
+    # interpreted cosines ran on one core at sf0.1. Scale-adaptive: fires
+    # only when the scan has fewer partitions than the session (a real
+    # embedding table has many splits — structural no-op there), and the
+    # exchanged rows are just (id, vector).
+    target = spark.sparkContext.defaultParallelism
+    if cand.rdd.getNumPartitions() < target:
+        cand = cand.repartition(target, F.col("nb_id"))
     scored = (
         cand.join(broadcast(qs), F.col("q_id") != F.col("nb_id"))
         .withColumn("sim", F.round(_cosine(F.col("qv"), F.col("cv")), 4))
