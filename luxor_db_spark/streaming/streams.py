@@ -392,13 +392,14 @@ def _stage_stream_table(
         + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
         + f"_p{os.getpid()}",
     )
-    if staged in _STAGED_DONE:
-        return staged
-    _register_staged_cleanup(staged)
-    load_table(spark, sf_dir, table).repartition(
-        _STAGE_PARTS, F.col(id_col)
-    ).write.mode("overwrite").parquet(staged)
-    _STAGED_DONE.add(staged)
+    with _STAGE_LOCK:
+        if staged in _STAGED_DONE:
+            return staged
+        _register_staged_cleanup(staged)
+        load_table(spark, sf_dir, table).repartition(
+            _STAGE_PARTS, F.col(id_col)
+        ).write.mode("overwrite").parquet(staged)
+        _STAGED_DONE.add(staged)
     return staged
 
 
@@ -415,6 +416,13 @@ def _stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     path = os.path.join(sf_dir, "documents.parquet")
     if not os.path.isdir(path):
+        # Staged single-file fixtures ALWAYS drain as one data batch: the
+        # LUXOR_STREAM_MAX_FILES_PER_TRIGGER test hook is deliberately
+        # not applied here because the staged parts are hash-partitioned
+        # by doc_id (not event-time-ordered), so per-file replay would
+        # deliver rows out of order and watermark eviction would change
+        # results (r13 ADVICE #3; the invariance tests drive multi-batch
+        # replay through directory fixtures or explicit staged dirs).
         path = _stage_stream_table(spark, sf_dir, "documents", "doc_id")
         return (
             spark.readStream.schema(spark.read.parquet(path).schema)
@@ -587,6 +595,9 @@ def _stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     path = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.isdir(path):
+        # One data batch always; mft test hook deliberately not applied
+        # (hash-partitioned parts, not event-time-ordered — see
+        # _stream_documents).
         path = _stage_stream_table(spark, sf_dir, "embeddings", "vec_id")
         return (
             spark.readStream.schema(spark.read.parquet(path).schema)
@@ -737,6 +748,15 @@ _STAGED_DIRS: set = set()
 # reuse is impossible by construction).
 _STAGED_DONE: set = set()
 
+# Serializes the check-stage-mark sequence in _stage_stream_table /
+# _stage_flushed_docs (r13 ADVICE #2): two concurrent first calls in one
+# process (parallel drains sharing the session) would otherwise both miss
+# the memo and run overlapping overwrite writes to the same directory —
+# one job can fail or a third stream can list a partially-written dir.
+# Coarse by design: staging is rare (once per artifact per process) and
+# the lock is only contended during that first materialization.
+_STAGE_LOCK = __import__("threading").Lock()
+
 
 def _register_staged_cleanup(staged: str) -> None:
     import atexit
@@ -777,23 +797,83 @@ def _stage_flushed_docs(spark: SparkSession, sf_dir: str) -> str:
     # about the QUERY's work is memoized, only the fixture-plumbing copy
     # a real deployment wouldn't have at all, because its ingest
     # directory already exists).
-    if staged in _STAGED_DONE:
-        return staged
-    _register_staged_cleanup(staged)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # Multi-part write (r13): one part file = one scan task in the data
-    # micro-batch, which serialized the in-flight chunking/fingerprint
-    # onto a single core — see _stage_stream_table. Hash-repartition by
-    # doc_id is deterministic; everything still lands in batch 0.
-    docs.repartition(_STAGE_PARTS, F.col("doc_id")).write.mode(
-        "overwrite"
-    ).parquet(staged)
-    spark.createDataFrame(
-        [(_SURVIVOR_FLUSH_ID, "watermark flush sentinel")],
-        "doc_id bigint, text string",
-    ).write.mode("append").parquet(staged)
-    _STAGED_DONE.add(staged)
+    with _STAGE_LOCK:
+        if staged in _STAGED_DONE:
+            return staged
+        _register_staged_cleanup(staged)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        # Multi-part write (r13): one part file = one scan task in the
+        # data micro-batch, which serialized the in-flight chunking/
+        # fingerprint onto a single core — see _stage_stream_table.
+        # Hash-repartition by doc_id is deterministic; everything still
+        # lands in batch 0. NOTE the part files' doc_id ranges all span
+        # the full corpus, so per-file replay of THIS dir would arrive
+        # out of event-time order — which is why the survivor keys
+        # ignore the maxFilesPerTrigger test hook on the default staged
+        # dir (r13 ADVICE #1; the in-order multi-batch tests hand-stage
+        # range-ordered dirs and pass them via ``staged_dir=``).
+        docs.repartition(_STAGE_PARTS, F.col("doc_id")).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        spark.createDataFrame(
+            [(_SURVIVOR_FLUSH_ID, "watermark flush sentinel")],
+            "doc_id bigint, text string",
+        ).write.mode("append").parquet(staged)
+        _STAGED_DONE.add(staged)
     return staged
+
+
+def stage_fixture_sources(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, float]:
+    """Declared bench/driver SETUP (r13 verdict item 1): materialize every
+    staged stream-source copy the streaming keys of this corpus read,
+    OUTSIDE any timed region, and return each artifact's staging seconds.
+
+    The staged copies are fixture plumbing — a real ingest pipeline's
+    source directory already exists and is never rebuilt per query — but
+    memoizing them across a bench's timed runs made the streaming gains
+    partly unattributable (which share was parallel-scan speedup, which
+    was staging falling out of the median?). bench.py now calls this
+    before its timed suite and publishes the returned costs in the JSON
+    tail (``staging_setup_s``), so the staging cost stands on its own and
+    the per-key numbers measure only the streamed computation. Query
+    functions still stage lazily (through the same memo) when run
+    standalone, e.g. under the driver's correctness harness, where
+    nothing is timed."""
+    import os
+    import time
+
+    jobs: list[tuple[str, object]] = []
+    if os.path.isfile(os.path.join(sf_dir, "documents.parquet")):
+        jobs.append(
+            (
+                "documents",
+                lambda: _stage_stream_table(
+                    spark, sf_dir, "documents", "doc_id"
+                ),
+            )
+        )
+        jobs.append(
+            ("flushed_docs", lambda: _stage_flushed_docs(spark, sf_dir))
+        )
+    if os.path.isfile(os.path.join(sf_dir, "embeddings.parquet")):
+        jobs.append(
+            (
+                "embeddings",
+                lambda: _stage_stream_table(
+                    spark, sf_dir, "embeddings", "vec_id"
+                ),
+            )
+        )
+    out: dict[str, float] = {}
+    for name, fn in jobs:
+        t0 = time.perf_counter()
+        fn()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
 
 
 def _stream_survivors(docs: DataFrame) -> DataFrame:
@@ -925,6 +1005,7 @@ def stream_dedup_survivors(
     """
     import os
 
+    explicit_dir = staged_dir is not None
     if staged_dir is None:
         staged_dir = _stage_flushed_docs(spark, sf_dir)
     from luxor_db_spark.session import configure
@@ -932,8 +1013,15 @@ def stream_dedup_survivors(
     configure(spark)
     schema = spark.read.parquet(staged_dir).schema
     rs = spark.readStream.schema(schema)
+    # The maxFilesPerTrigger TEST HOOK applies only to an EXPLICITLY
+    # passed staged dir (the in-order multi-batch tests hand-stage
+    # doc_id-range-ordered parts): the DEFAULT staging hash-partitions by
+    # doc_id, so its per-file replay would arrive out of event-time
+    # order and the advancing watermark would evict rows the in-order
+    # contract keeps (r13 ADVICE #1). The default dir always drains as
+    # one data batch.
     mft = os.environ.get("LUXOR_STREAM_MAX_FILES_PER_TRIGGER")
-    if mft:
+    if mft and explicit_dir:
         rs = rs.option("maxFilesPerTrigger", int(mft))
     docs = rs.parquet(staged_dir)
     return _drain(
@@ -1083,6 +1171,7 @@ def stream_chunk_dedup(
     """
     import os
 
+    explicit_dir = staged_dir is not None
     if staged_dir is None:
         staged_dir = _stage_flushed_docs(spark, sf_dir)
     from luxor_db_spark.session import configure
@@ -1090,8 +1179,11 @@ def stream_chunk_dedup(
     configure(spark)
     schema = spark.read.parquet(staged_dir).schema
     rs = spark.readStream.schema(schema)
+    # Test hook honored only for explicit staged dirs — the default
+    # staging's parts are hash-partitioned (not event-time-ordered), see
+    # stream_dedup_survivors.
     mft = os.environ.get("LUXOR_STREAM_MAX_FILES_PER_TRIGGER")
-    if mft:
+    if mft and explicit_dir:
         rs = rs.option("maxFilesPerTrigger", int(mft))
     docs = rs.parquet(staged_dir)
     return _drain(
