@@ -562,6 +562,15 @@ def _lzw_encode_solid(index: int, n_pixels: int, min_code_size: int) -> bytes:
     remaining = n_pixels
     next_len = 1  # longest run the decoder currently has a code for, +0/+1
     first = True
+    # GIF codes are at most 12 bits, so the largest emittable code is
+    # 4095 = eoi + (max_run − 1): once the run length reaches max_run the
+    # dictionary stops being useful and the encoder repeats the max-run
+    # code (the decoder keeps appending entries it will never be asked
+    # for — harmless). Without this cap, frames above ~8.4M pixels
+    # emitted codes ≥ 4096 that cannot fit the 12-bit width — a silently
+    # corrupt stream (r13 ADVICE #4). Fixture frames (≤529 px) never
+    # reach the cap, so their streams are byte-identical.
+    max_run = ((1 << 12) - 1) - eoi + 1
     while remaining > 0:
         run = min(next_len, remaining)
         # run of length 1 = the literal; length k≥2 = the (k-2)th added
@@ -573,7 +582,7 @@ def _lzw_encode_solid(index: int, n_pixels: int, min_code_size: int) -> bytes:
             if table_len == (1 << width) and width < 12:
                 width += 1
         first = False
-        next_len = run + 1
+        next_len = min(run + 1, max_run)
     emit(eoi)
     if nacc:
         out.append(acc & 0xFF)
@@ -718,11 +727,21 @@ def decode_gif_frames(
             # bytes.count scans the decoded indices at C speed once per
             # table entry (≤ |table| passes) instead of one Python add
             # per pixel — same integer sum, same decoded pixels (r13).
-            px_sum = sum(
-                (ct[3 * k] + ct[3 * k + 1] + ct[3 * k + 2])
-                * idxs.count(k)
-                for k in range(len(ct) // 3)
-            )
+            # Counts are totalled so an index OUTSIDE the color table is
+            # a detectable failure (the old per-pixel gather raised
+            # IndexError; the count form would silently contribute 0 —
+            # r13 ADVICE #5).
+            px_sum = 0
+            n_matched = 0
+            for k in range(len(ct) // 3):
+                c = idxs.count(k)
+                n_matched += c
+                px_sum += (ct[3 * k] + ct[3 * k + 1] + ct[3 * k + 2]) * c
+            if n_matched != len(idxs):
+                raise ValueError(
+                    "GIF frame references color indices outside its "
+                    "color table (corrupt stream)"
+                )
             frames.append((fidx, fw, fh, px_sum))
         fidx += 1
     return frames

@@ -128,8 +128,24 @@ LAST_DRAIN_STATS: dict[str, dict] = {}
 # the clamp entirely.
 _STREAM_PARTITIONS_DEFAULT = 8
 
+# Drains whose per-batch work runs in PYTHON workers
+# (applyInPandasWithState): one Python worker task per shuffle partition,
+# so the clamp CUTS their real parallelism instead of trimming empty
+# state-store open/commit cycles. Measured at sf0.1 local[32] (r14 A/B,
+# alternating arms): stream_stateful 2.57 s at 8 vs 2.22 s at 32 — and
+# the driver's r12→r13 read showed the same direction (1.77 s at 32 →
+# 3.60 s under the clamp). JVM-stateful drains keep the clamp
+# (stream_tumbling 1.01 s at 8 vs 1.45 s at 32; the dedup four measured
+# 19.5 s vs 47.0 s in the r12-era A/B, reconfirmed r14:
+# stream_chunk_dedup ~3.1 s at 8 vs ~7-8 s at 32).
+_PYTHON_STATE_KEYS = frozenset(
+    {"stream_stateful", "stream_windowed_topk_bounded"}
+)
 
-def _stream_shuffle_partitions(spark: SparkSession) -> str | None:
+
+def _stream_shuffle_partitions(
+    spark: SparkSession, key: str | None = None
+) -> str | None:
     """Partition count to pin for a streaming drain, or None to leave
     the session conf alone."""
     import os
@@ -138,6 +154,8 @@ def _stream_shuffle_partitions(spark: SparkSession) -> str | None:
     if override is not None:
         override = override.strip()
         return None if override in ("", "0") else override
+    if key in _PYTHON_STATE_KEYS:
+        return None
     try:
         if not spark.sparkContext.master.startswith("local"):
             return None
@@ -166,7 +184,7 @@ def _drain(df: DataFrame, key: str, mode: str) -> DataFrame:
     # affecting the (already finished) query. Restoring in the finally
     # block — not right after start() — avoids racing batch 0's conf
     # capture, which happens asynchronously on the stream thread.
-    pinned = _stream_shuffle_partitions(spark)
+    pinned = _stream_shuffle_partitions(spark, key)
     prior = None
     if pinned is not None:
         try:
