@@ -652,10 +652,27 @@ def llm_dedup_simhash(
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ).cast("int")
-    # popcount-filter BEFORE the cross-band dedup: hamming is a pure
-    # function of the pair, so filtering first changes nothing — but the
-    # distinct then shuffles only qualifying pairs instead of every
-    # band collision.
+    # Cross-band dedup WITHOUT an exchange (r14): a pair sharing k of the
+    # 4 bands used to surface k times from the band join and be deduped
+    # by a trailing DISTINCT — a full shuffle+sort of every qualifying
+    # pair (measured: the DISTINCT added ~1.2 s of the 3.2 s candidate
+    # pipeline at sf0.1, shuffling 2.06M pair rows down to 1.41M). Both
+    # fingerprints are already IN the joined row, so "this row's band is
+    # the pair's LOWEST shared band" is pure bit arithmetic: keep the row
+    # iff every band below blk_i differs between the two simhashes. Every
+    # qualifying pair has exactly one lowest shared band, so each pair
+    # surfaces exactly once — the identical set the DISTINCT produced,
+    # with zero extra shuffle (oracle hash unchanged; equality with the
+    # DISTINCT form pinned in tests/test_r14_optimizations.py).
+    def _band(side: str, j: int):
+        return F.shiftrightunsigned(
+            F.col(f"{side}.simhash"), 15 * j
+        ).bitwiseAND(F.lit(0x7FFF).cast("long"))
+
+    min_band = None
+    for j in range(3):
+        term = (F.col("a.blk_i") <= j) | (_band("a", j) != _band("b", j))
+        min_band = term if min_band is None else (min_band & term)
     return (
         a.join(
             b_,
@@ -663,13 +680,13 @@ def llm_dedup_simhash(
             & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(min_band)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= hamming_max)
-        .distinct()
     )
 
 
@@ -4641,39 +4658,57 @@ def llm_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = QUERIES["llm_dedup_simhash"](spark, sf_dir, docs=shared).select(
         "doc_a", "doc_b"
     )
-    # ONE structural pass over each pipeline (r13): the previous three
-    # separate aggregates (tp = cand⋈truth count, nc = cand count, nt =
-    # truth count, cross-joined) duplicated the ENTIRE candidate and
-    # truth pipelines per consumer in the static plan (64 Exchanges, 36
-    # scans of the shared tokens checkpoint). A single full-outer join
-    # on the pair key yields all three counts in one aggregate:
-    # n_candidates = rows with a cand side, n_truth = rows with a truth
-    # side, n_tp = rows with both. Pair keys are unique on each side
-    # (both pipelines emit distinct (doc_a, doc_b) — their own oracles
-    # pin that), so the outer join is 1:1 and the counts are exactly the
-    # old ones — oracle hash unchanged. Honest measurement: wall time at
-    # sf0.1 is UNCHANGED (~4.8 s vs ~4.7 s, within noise) because AQE's
-    # runtime exchange reuse was already deduplicating the executed
-    # subtrees; the win is structural — the single-pass shape no longer
-    # depends on runtime reuse firing (it can silently stop under plan
-    # drift), and the static plan drops to half the Exchanges. An eager
-    # localCheckpoint of both pair frames was tried first and REJECTED
-    # by measurement: it serialized the pipelines into sequential jobs
-    # (4.7 → 6.7 s).
-    c_flag = cand.withColumn("is_cand", F.lit(1))
-    t_flag = truth.withColumn("is_truth", F.lit(1))
-    both = c_flag.join(t_flag, ["doc_a", "doc_b"], "full_outer")
-    counts = both.agg(
-        F.count("is_cand").alias("n_cand"),
-        F.count("is_truth").alias("n_truth"),
-        F.count(
-            F.when(
-                F.col("is_cand").isNotNull()
-                & F.col("is_truth").isNotNull(),
-                1,
+    # ONE structural pass over each pipeline (r13), with the metric join
+    # now BROADCAST on the truth side (r14): the truth set is the exact-
+    # Jaccard pair list — tiny relative to the banded candidates (256 vs
+    # 1.41M at sf0.1; a screen whose truth outnumbered its candidates
+    # would be pointless). The r13 full-outer join on the pair key could
+    # not broadcast (Spark builds no broadcast full-outer), so it shuffled
+    # every candidate pair. Now: materialize truth once
+    # (localCheckpoint — 256 rows; r13 rejected checkpointing BOTH pair
+    # frames because the 1.4M-row cand write serialized the heavy
+    # pipelines, 4.7 → 6.7 s; the truth side alone is cheap), then
+    # n_candidates and n_true_positive come from ONE pass over cand with
+    # the checkpointed truth broadcast into a LEFT join (cand pairs are
+    # unique — min-band emission — and truth pairs are unique per its own
+    # oracle, so the join never fans out and count(*) = n_candidates),
+    # and n_truth is a free aggregate over the 256-row checkpoint.
+    # Counts are exactly the full-outer's — oracle hash unchanged.
+    # Scale guard: an unexpectedly LARGE truth set (the broadcast cap is
+    # real at 100 TB) falls back to the r13 full-outer shape — the
+    # checkpoint row count is already on the driver, so the guard is
+    # free and affects form only, never output.
+    t_rows = truth.localCheckpoint(eager=True)
+    n_truth_driver = t_rows.count()
+    if n_truth_driver <= 5_000_000:
+        flagged = cand.join(
+            F.broadcast(t_rows.withColumn("is_truth", F.lit(1))),
+            ["doc_a", "doc_b"],
+            "left",
+        )
+        counts = flagged.agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.count("is_truth").alias("n_tp"),
+        ).crossJoin(
+            F.broadcast(
+                t_rows.agg(F.count(F.lit(1)).alias("n_truth"))
             )
-        ).alias("n_tp"),
-    )
+        )
+    else:  # pragma: no cover — fixture truth sets are far below the cap
+        c_flag = cand.withColumn("is_cand", F.lit(1))
+        t_flag = t_rows.withColumn("is_truth", F.lit(1))
+        both = c_flag.join(t_flag, ["doc_a", "doc_b"], "full_outer")
+        counts = both.agg(
+            F.count("is_cand").alias("n_cand"),
+            F.count("is_truth").alias("n_truth"),
+            F.count(
+                F.when(
+                    F.col("is_cand").isNotNull()
+                    & F.col("is_truth").isNotNull(),
+                    1,
+                )
+            ).alias("n_tp"),
+        )
     return (
         counts.select(
             F.col("n_cand").cast("bigint").alias("n_candidates"),
