@@ -916,15 +916,41 @@ def profile_frame(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             )
     if not cols:
         raise ValueError("no profilable columns")
+    # Two-pass split (r14, measured): min/max over a STRING column needs
+    # a variable-width aggregation buffer, which HashAggregateExec cannot
+    # hold — one string min/max anywhere in the aggregate list forced the
+    # WHOLE profile (including the countDistinct Expand, |cols|+1× the
+    # input rows) through a non-codegen SortAggregate. Splitting the
+    # string min/max into their own second pass lets the main pass (all
+    # counts + distincts + fixed-width min/max) hash-aggregate: 2.25 s →
+    # 0.52 s at sf0.1 local[32], identical rows. The extra pass is
+    # scale-cheap: it reads ONLY the string columns (pruned scan), its
+    # aggregate is map-side-combining, and both passes stay one
+    # reduce-to-one-row shape; the r5 "single scan" pin moves to ≤2
+    # fact scans (tests/test_plans.py, tools/plan_sweep.py default cap).
+    str_cols = [
+        c for c in cols if isinstance(by_name[c].dataType, T.StringType)
+    ]
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
     for c in cols:
         aggs += [
             F.count(c).cast("bigint").alias(f"{c}__nn"),
             F.countDistinct(c).cast("bigint").alias(f"{c}__nd"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
         ]
+        if c not in str_cols:
+            aggs += [
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+            ]
     wide = df.agg(*aggs)
+    if str_cols:
+        saggs = []
+        for c in str_cols:
+            saggs += [
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+            ]
+        wide = wide.crossJoin(F.broadcast(df.agg(*saggs)))
     stack_args = ", ".join(
         f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__min`, `{c}__max`" for c in cols
     )

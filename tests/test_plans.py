@@ -570,9 +570,12 @@ def test_pagerank_iterations_run_on_pinned_edges(audit):
         # One sketch-build pass + 2 pushed-filter probe reads; the old
         # form planned 4 union legs + 4 broadcast sketch copies.
         ("agg_countmin", "events", 3),
-        # All column profiles in ONE multi-aggregate pass + stack();
-        # the old form planned one full aggregate per profiled column.
-        ("profile_table", "orders", 1),
+        # r14: counts/distincts/fixed-width min-max in one HASH-aggregate
+        # pass + the string min/max in a second pruned-scan pass (string
+        # buffers forced the whole expand through SortAggregate: 2.25 s
+        # → 0.52 s at sf0.1, identical rows). The r5 "one pass" pin
+        # becomes two: still no per-column pass explosion.
+        ("profile_table", "orders", 2),
         # Sketch twin: same single-pass shape, HLL instead of expand —
         # if it ever splits into per-column passes the sketch rewrite
         # lost its point.
