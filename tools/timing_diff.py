@@ -216,6 +216,36 @@ def main(argv: list[str]) -> int:
         "cross-key index reuse is deliberately NOT done in the "
         "registered keys; LuxorEngine.build_index is the reuse path.",
         "",
+        "- `source_python_ds` (~4-5 s in this ledger, profiled r14): "
+        "≈5 s is the FIRST-call cost of Spark's Python DataSource "
+        "machinery in a session (plan conversion + Python runner "
+        "spin-up, paid once per session by whichever Python-source "
+        "key runs first); warm calls measure ~0.5 s on the same "
+        "session. The 4-partition generator itself is trivially "
+        "parallel — the keyspace partitioning is the scale story, the "
+        "first-call constant is Spark infrastructure, not data work.",
+        "",
+        "- `fn_math` (~2.7 s in this ledger, profiled r14): the "
+        "engine-side execution is ~0.26 s warm on a vanilla local[8] "
+        "session (one projection, 13 math columns); the ledger's "
+        "seconds are dominated by the HARNESS — collecting and "
+        "canonicalizing 60k x 13-double rows from BOTH engines for "
+        "the order-insensitive compare. Not an engine cost; left "
+        "alone by design.",
+        "",
+        "- Streaming drain FLOOR (measured r13/r14 at sf0.1, "
+        "local[32], clamp 8): ~0.34 s for a stateless drain, ~0.72 s "
+        "for one stateful aggregation, plus ~0.6 s micro-batch "
+        "planning per start and — for watermarked append-mode keys — "
+        "a ~1.0 s zero-row watermark-flush batch (state-store "
+        "open/commit cycles; NOT partition-bound, measured by the r13 "
+        "partition A/B). Every stream_* key pays this per drain "
+        "because a bench run starts and stops a fresh query; "
+        "amortizing it would require a long-lived query reused across "
+        "runs, which is the same cross-run-reuse class the "
+        "no-precomputation rule forbids — deliberately NOT done "
+        "(r13 verdict item 5: methodology ruling required first).",
+        "",
     ]
     missing = [r for r in rows if r[3] is None]
     if missing:
