@@ -950,7 +950,8 @@ def profile_frame(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
                 F.min(c).cast("string").alias(f"{c}__min"),
                 F.max(c).cast("string").alias(f"{c}__max"),
             ]
-        wide = wide.crossJoin(F.broadcast(df.agg(*saggs)))
+        smm = df.agg(*saggs)  # 1-row global aggregate — constant grain
+        wide = wide.crossJoin(F.broadcast(smm))
     stack_args = ", ".join(
         f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__min`, `{c}__max`" for c in cols
     )

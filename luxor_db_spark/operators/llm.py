@@ -4681,19 +4681,20 @@ def llm_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_rows = truth.localCheckpoint(eager=True)
     n_truth_driver = t_rows.count()
     if n_truth_driver <= 5_000_000:
+        # t_flag's grain is runtime-GUARDED, not constant-in-SF: the
+        # driver-side count above (free — the frame is already
+        # checkpointed) proves it fits before the hint is emitted, and
+        # the else-branch keeps the un-hinted full-outer for anything
+        # larger. nt is a 1-row aggregate.
+        t_flag = t_rows.withColumn("is_truth", F.lit(1))
+        nt = t_rows.agg(F.count(F.lit(1)).alias("n_truth"))
         flagged = cand.join(
-            F.broadcast(t_rows.withColumn("is_truth", F.lit(1))),
-            ["doc_a", "doc_b"],
-            "left",
+            F.broadcast(t_flag), ["doc_a", "doc_b"], "left"
         )
         counts = flagged.agg(
             F.count(F.lit(1)).alias("n_cand"),
             F.count("is_truth").alias("n_tp"),
-        ).crossJoin(
-            F.broadcast(
-                t_rows.agg(F.count(F.lit(1)).alias("n_truth"))
-            )
-        )
+        ).crossJoin(F.broadcast(nt))
     else:  # pragma: no cover — fixture truth sets are far below the cap
         c_flag = cand.withColumn("is_cand", F.lit(1))
         t_flag = t_rows.withColumn("is_truth", F.lit(1))

@@ -346,8 +346,9 @@ def test_broadcast_hints_only_on_constant_grain_sides():
     from pathlib import Path
 
     allowed = {
-        # CMS sketch <=4x256; 1-row total; weighted-median |grp|=5 totals
-        "aggregates.py": {"sk", "total", "tot"},
+        # CMS sketch <=4x256; 1-row total; weighted-median |grp|=5 totals;
+        # smm = profile_frame's 1-row string min/max aggregate (r14)
+        "aggregates.py": {"sk", "total", "tot", "smm"},
         # per-bucket count ledgers; two_level_cumsum <=npart pid offsets
         "bucketed.py": {"ledger", "tgt", "off"},
         "graph.py": {"contrib", "outw", "r"},  # <=|nations| iteration grain
@@ -367,6 +368,12 @@ def test_broadcast_hints_only_on_constant_grain_sides():
             # PQ re-rank fetch list: |queries| x k*refine rows, constant
             # in SF — the broadcast side of the originals fetch join
             "shortlist",
+            # simhash_eval truth pair set (r14): NOT constant in SF, but
+            # runtime-guarded — a free driver-side count of the already-
+            # checkpointed frame proves <=5M rows before the hint is
+            # emitted; larger truth sets take the un-hinted full-outer
+            # branch
+            "t_flag",
             "z",  # 1-row bounds
         },
         "scans.py": {"n_s"},  # per-status counts (|statuses|)
