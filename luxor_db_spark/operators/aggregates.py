@@ -840,7 +840,22 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # All 4 depth buckets in ONE scan: posexplode of the per-row bucket
     # array (pos = depth). The union-of-4-selects form read events once
     # per depth — 4 full-data passes at scale for the same rows.
-    allb = ev.select(
+    #
+    # r14: compute the buckets AFTER spreading the 8-byte key column
+    # across the session's cores. The sf0.1 fixture is one parquet file
+    # with one row group → ONE scan task, so the 4 md5-derived bucket
+    # expressions per row (the key's only real CPU work, measured 1.0 s
+    # of the 1.8 s wall at sf0.1) ran single-threaded on local[32]. Only
+    # user_id crosses the exchange (~1 MB at sf0.1 — guide §8's
+    # decide-with-small-rows shape), the sketch's own partial aggregation
+    # is unchanged, and the guard makes it a structural no-op on any
+    # many-split table (same pattern as sources.multimodal._spread_ids,
+    # judged scale-safe in r13).
+    ids = ev.select("user_id")
+    target = spark.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < target:
+        ids = ids.repartition(target, "user_id")
+    allb = ids.select(
         F.posexplode(
             F.array(*[_cms_bucket_col(d) for d in range(4)])
         ).alias("d", "bucket")
